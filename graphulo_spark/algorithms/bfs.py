@@ -1,0 +1,71 @@
+"""k-step BFS with degree filtering — Graphulo AdjBFS parity.
+
+Reference: Graphulo.java:1014-1223. Per step the reference (a) filters the
+frontier by a degree table (filterTextsDegreeTable:1239-1276 with
+MinMaxFilter), (b) scans frontier rows of A, (c) gathers the next frontier
+via GatherReducer — with a client round-trip per step holding the frontier as
+a D4M string. Here the frontier stays a distributed DataFrame; the degree
+filter is a broadcast-able join; the visited set accumulates distributed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphulo_spark.linalg.edges import degrees, symmetrize
+
+
+def adj_bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: Iterable[int] | DataFrame,
+    k: int,
+    *,
+    directed: bool = False,
+    min_degree: int | None = None,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Vertices reachable within k hops: DataFrame[v: long, dist: int].
+
+    Seeds get dist 0. A frontier vertex is only *expanded* if its out-degree
+    lies in [min_degree, max_degree] (Graphulo's ADegtable filter semantics —
+    the degree gate applies to the node being traversed through, not to the
+    nodes reached).
+    """
+    g = edges if directed else symmetrize(edges)
+    g = g.select("src", "dst").cache()
+
+    if isinstance(seeds, DataFrame):
+        frontier = seeds.select(F.col(seeds.columns[0]).cast("long").alias("v")).distinct()
+    else:
+        frontier = spark.createDataFrame([(int(s),) for s in seeds], "v long")
+
+    deg = None
+    if min_degree is not None or max_degree is not None:
+        deg = degrees(g, by="src")
+        if min_degree is not None:
+            deg = deg.filter(F.col("deg") >= min_degree)
+        if max_degree is not None:
+            deg = deg.filter(F.col("deg") <= max_degree)
+        deg = deg.select("v").cache()
+
+    visited = frontier.select("v", F.lit(0).alias("dist")).cache()
+    frontier = frontier.cache()
+
+    for step in range(1, k + 1):
+        expandable = frontier if deg is None else frontier.join(deg, "v", "left_semi")
+        reached = (
+            g.join(expandable.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        new_frontier = reached.join(visited, "v", "left_anti").localCheckpoint()
+        if new_frontier.count() == 0:
+            break
+        visited = visited.unionByName(new_frontier.select("v", F.lit(step).alias("dist"))).localCheckpoint()
+        frontier = new_frontier
+
+    return visited

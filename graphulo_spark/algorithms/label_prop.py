@@ -1,0 +1,87 @@
+"""Synchronous label propagation with deterministic tie-breaking.
+
+Community-detection flavor of the reference's BFS/label machinery
+(GatherReducer frontier collection, reducer/GatherReducer.java:14-84, run as a
+loop). Update rule, applied synchronously to every vertex per superstep:
+
+    label_{t+1}(v) = argmax_{l} Σ_{u~v, label_t(u)=l} w(u,v)
+                     ties broken by the SMALLEST label
+
+Deterministic by construction (SURVEY.md §7.3 "genuinely hard parts" (a)):
+synchronous update + fixed tie-break ⇒ bit-identical assignments across runs
+and cluster sizes, which is what makes "exact parity" testable. Fixed
+iteration count (LPA can oscillate on bipartite structures); labels are LONG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphulo_spark.checkpoint import SuperstepCheckpointer
+from graphulo_spark.linalg.edges import symmetrize
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Returns DataFrame[v: long, label: long] after ``iters`` supersteps."""
+    params = {"alg": "lp", "iters": iters}
+    ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params) if checkpoint_dir else None
+
+    sym = symmetrize(edges, combine="sum")
+    if ckpt:
+        import os
+
+        sym_path = f"{ckpt.run_dir}/sym_edges"
+        if not (resume and os.path.exists(sym_path)):
+            sym.write.mode("overwrite").parquet(sym_path)
+        sym = spark.read.parquet(sym_path)
+    else:
+        sym = sym.cache()
+
+    vertices = sym.select(F.col("src").alias("v")).distinct()
+
+    start_step = 0
+    labels = None
+    if ckpt and resume:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            start_step = latest
+            labels = ckpt.load(latest)
+    if labels is None:
+        labels = vertices.select("v", F.col("v").alias("label"))
+        if ckpt:
+            labels = ckpt.save(0, labels)
+        else:
+            labels = labels.localCheckpoint()
+
+    for step in range(start_step + 1, iters + 1):
+        votes = (
+            sym.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"), "label")
+            .agg(F.sum("w").alias("_wt"))
+        )
+        w_rank = Window.partitionBy("v").orderBy(F.col("_wt").desc(), F.col("label").asc())
+        winner = (
+            votes.withColumn("_rk", F.row_number().over(w_rank))
+            .filter(F.col("_rk") == 1)
+            .select("v", "label")
+        )
+        new_labels = (
+            vertices.join(winner, "v", "left")
+            .join(labels.withColumnRenamed("label", "_old"), "v", "left")
+            .select("v", F.coalesce("label", "_old").alias("label"))
+        )
+        if ckpt:
+            new_labels = ckpt.save(step, new_labels)
+        else:
+            new_labels = new_labels.localCheckpoint()
+        labels = new_labels
+
+    return labels

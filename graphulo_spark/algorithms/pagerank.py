@@ -1,0 +1,163 @@
+"""PageRank as a superstep SpMV loop with per-superstep checkpoint/resume.
+
+Each superstep is Graphulo TableMult with a 1-column vector table
+(SURVEY.md §3.1) restated as join + groupBy-sum; convergence is the client
+nnz/delta fixpoint loop of kTrussAdj/NMF (Graphulo.java:2198, 3776-3788)
+restated as an L1-delta test.
+
+Semantics (classic power iteration / NetworkX definition):
+    r_0(v)    = 1/n
+    r_{t+1}(v) = (1-α)/n + α·( Σ_{u→v} w(u,v)/W_out(u) · r_t(u) + D_t/n )
+where D_t is the rank mass on dangling vertices (no out-edges) and W_out the
+weighted out-degree. Stops when Σ_v |r_{t+1}(v) − r_t(v)| < tol.
+
+Execution shape per superstep — exactly ONE shuffle-bearing job:
+- transition weights are normalized ONCE before the loop and persisted;
+- dangling mass needs no extra pass: weights are row-normalized so
+  Σ contrib = 1 − D_t; the scalar enters the plan as a broadcast single-row
+  cross join (no driver round-trip);
+- the L1 delta is the single driver action, fused with materializing the new
+  state (localCheckpoint or checkpoint parquet) — lineage is truncated every
+  superstep (Graphulo's temp-table ping-pong, Graphulo.java:2131-2208), which
+  is what keeps superstep k's cost flat in k;
+- with a checkpoint_dir, state is re-read from the superstep's parquet, so an
+  interrupted+resumed run executes byte-identical superstep inputs to an
+  uninterrupted one (tested bitwise).
+
+Strategies: 'join' shuffles rank rows to edges (broadcast/salted per
+linalg.spmv — salting hubs is the Graphulo triCountMagic2 scatter,
+Graphulo.java:2990-3084, generalized); 'arrow' broadcasts the rank vector as
+a numpy array and gather-scatters per Arrow batch (np.bincount in a pandas
+UDF over CSR-blocked partitions) — right up to ~10^8-10^9 vertices even at
+10^12 edges, because only (vertex, partial-sum) pairs ever shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphulo_spark.checkpoint import SuperstepCheckpointer
+from graphulo_spark.linalg.spmv import spmv, spmv_arrow
+
+
+def _normalized_edges(edges: DataFrame) -> DataFrame:
+    """nw(src,dst) = w / Σ_dst w(src,·) — row-stochastic transition weights."""
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
+    return edges.join(out_w, "src").select("src", "dst", (F.col("w") / F.col("_ow")).alias("w"))
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    strategy: str = "auto",
+    history: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """Returns DataFrame[v: long, rank: double]; Σ rank = 1.
+
+    With ``checkpoint_dir`` every superstep persists (rank state, partition
+    metrics, lineage) and ``resume=True`` continues from the latest complete
+    superstep. ``history`` (optional list) collects per-superstep stats.
+    """
+    params = {"alg": "pagerank", "alpha": alpha, "tol": tol, "strategy": strategy}
+    ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params) if checkpoint_dir else None
+
+    vertices = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    if ckpt:
+        import os
+
+        vtx_path = f"{ckpt.run_dir}/vertices"
+        ne_path = f"{ckpt.run_dir}/norm_edges"
+        if not (resume and os.path.exists(ne_path)):
+            vertices.write.mode("overwrite").parquet(vtx_path)
+            _normalized_edges(edges).write.mode("overwrite").parquet(ne_path)
+        vertices = spark.read.parquet(vtx_path).cache()
+        norm_edges = spark.read.parquet(ne_path).cache()
+    else:
+        vertices = vertices.cache()
+        norm_edges = _normalized_edges(edges).cache()
+
+    n = vertices.count()
+    if n == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
+
+    start_step = 0
+    ranks = None
+    if ckpt and resume:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            start_step = latest
+            ranks = ckpt.load(latest)
+    if ranks is None:
+        ranks = vertices.select("v", F.lit(1.0 / n).alias("x"))
+        ranks = ckpt.save(0, ranks) if ckpt else ranks.localCheckpoint()
+
+    use_arrow = strategy == "arrow"
+    if use_arrow:
+        # dense vertex index (one-time O(|V|) sort; |V| rows, not |E|)
+        vidx = vertices.select("v", (F.row_number().over(Window.orderBy("v")) - 1).alias("vi")).cache()
+        edges_idx = (
+            norm_edges.join(vidx.withColumnRenamed("v", "src").withColumnRenamed("vi", "si"), "src")
+            .join(vidx.withColumnRenamed("v", "dst").withColumnRenamed("vi", "di"), "dst")
+            .select("si", "di", "w")
+            .cache()
+        )
+        edges_idx.count()
+
+    sc = spark.sparkContext
+    for step in range(start_step + 1, max_iter + 1):
+        if use_arrow:
+            import numpy as np
+
+            pdf = ranks.join(vidx, "v").select("vi", "x").toPandas()
+            rvec = np.zeros(n, dtype="float64")
+            rvec[pdf["vi"].to_numpy()] = pdf["x"].to_numpy()
+            b = sc.broadcast(rvec)
+            contrib = spmv_arrow(edges_idx, b).join(vidx, "vi").select("v", "x")
+        else:
+            contrib = spmv(norm_edges, ranks, strategy=strategy, vec_count=n, drop_zeros=False)
+
+        # dangling mass as a broadcast scalar *inside the plan*: D = 1 − Σ contrib
+        mass_row = contrib.agg(F.sum("x").alias("_mass"))
+        new_ranks = (
+            vertices.join(contrib, "v", "left")
+            .crossJoin(F.broadcast(mass_row))
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * (F.lit(1.0) - F.coalesce("_mass", F.lit(0.0))) / n
+                    + F.lit(alpha) * F.coalesce(F.col("x"), F.lit(0.0))
+                ).alias("x"),
+            )
+        )
+
+        new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
+
+        delta = (
+            new_ranks.withColumnRenamed("x", "_xn")
+            .join(ranks.withColumnRenamed("x", "_xo"), "v", "full")
+            .agg(F.sum(F.abs(F.coalesce("_xn", F.lit(0.0)) - F.coalesce("_xo", F.lit(0.0)))))
+            .collect()[0][0]
+        )
+        if history is not None:
+            history.append({"step": step, "delta": delta})
+        if use_arrow:
+            b.unpersist()
+        ranks = new_ranks
+        if delta < tol:
+            break
+
+    return ranks.withColumnRenamed("x", "rank")

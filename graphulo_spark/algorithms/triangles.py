@@ -1,0 +1,77 @@
+"""Exact triangle counting.
+
+Graphulo triCount (Graphulo.java:2766-2849): upper-triangularize A,
+self-multiply with UpperTriTwoJoin (emits wedge closers for cq < cq'), sum,
+odd-untransform. Golden fixture answer = 2 on the 5-vertex graph
+(AlgorithmTest.java:236-262).
+
+Spark-first restatement: orient each undirected edge once, count paths of
+length 2 that are closed by an oriented edge. Two orientations:
+
+- 'id'     : src < dst — matches the SQL oracle exactly.
+- 'degree' : low-(degree,id) → high-(degree,id). Every triangle still counted
+  exactly once, but wedge fan-out at power-law hubs collapses: a hub only
+  *receives* oriented edges, so it generates no wedges. This is the
+  scale-path default (the same skew concern Graphulo attacks with
+  setPowerLawTriangleSplits, Graphulo.java:2701-2739 — split weight d(d-1)/2
+  is exactly the wedge count this orientation minimizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphulo_spark.linalg.edges import canonicalize, degrees, symmetrize
+
+
+def _oriented(edges: DataFrame, orientation: str) -> DataFrame:
+    canon = canonicalize(edges).select("src", "dst")
+    if orientation == "id":
+        return canon
+    # degree orientation: (deg, id) total order; edge points low → high
+    sym = symmetrize(canon.withColumn("w", F.lit(1.0)))
+    deg = degrees(sym, by="src")
+    e = (
+        canon.join(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "ds"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "dd"), "dst")
+    )
+    lo_first = (F.col("ds") < F.col("dd")) | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+    return e.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def triangle_closers(edges: DataFrame, orientation: str = "degree") -> DataFrame:
+    """DataFrame of one row per triangle (a<b<c in the orientation order):
+    columns (a, b, c). Exact, each triangle exactly once."""
+    e = _oriented(edges, orientation)
+    a = e.alias("e1")
+    b = e.alias("e2")
+    wedges = a.join(b, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+    closer = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return wedges.join(closer, ["a", "c"], "inner")
+
+
+def triangle_count(edges: DataFrame, orientation: str = "degree") -> int:
+    """Total exact triangle count (parity: AlgorithmTest.java:259 == 2)."""
+    return triangle_closers(edges, orientation).count()
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle participation count (k-truss support), canonical
+    (src<dst) key space. Edges in no triangle get support 0."""
+    canon = canonicalize(edges).select("src", "dst")
+    tris = triangle_closers(edges, orientation="id")
+    # each triangle (a<b<c) contributes support to edges (a,b), (b,c), (a,c)
+    sup = (
+        tris.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(tris.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .unionAll(tris.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("support"))
+    )
+    return canon.join(sup, ["src", "dst"], "left").fillna(0, subset=["support"])

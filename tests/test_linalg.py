@@ -1,0 +1,134 @@
+"""Kernel semantics: SpMV/SpGEMM vs numpy, ewise/set ops, filters, top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphulo_spark.linalg import (
+    bernoulli_sample,
+    canonicalize,
+    ewise_mult,
+    ewise_sum,
+    minmax_filter,
+    row_degree_filter,
+    row_selector,
+    spgemm,
+    spmv,
+    table_diff,
+    top_k_per_row,
+    triangular_filter,
+)
+
+EDGES = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 4.0), (3, 1, 0.5), (3, 4, 1.0), (4, 4, 2.0)]
+VEC = [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long, w double")
+
+
+@pytest.fixture(scope="module")
+def vec(spark):
+    return spark.createDataFrame(VEC, "v long, x double")
+
+
+def _dense(entries, n=5):
+    m = np.zeros((n, n))
+    for s, d, w in entries:
+        m[s, d] += w
+    return m
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "salted", "plain"])
+def test_spmv_matches_numpy(edges, vec, strategy):
+    a = _dense(EDGES)
+    x = np.zeros(5)
+    for v, val in VEC:
+        x[v] = val
+    want = a.T @ x  # y[dst] = sum_src w * x[src]
+    got = {r["v"]: r["x"] for r in spmv(edges, vec, strategy=strategy).collect()}
+    for d in range(5):
+        assert abs(got.get(d, 0.0) - want[d]) < 1e-12
+
+
+def test_spmv_transpose(edges, vec):
+    a = _dense(EDGES)
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    want = a @ x
+    got = {r["v"]: r["x"] for r in spmv(edges, vec, transpose=True, strategy="broadcast").collect()}
+    for s in range(5):
+        assert abs(got.get(s, 0.0) - want[s]) < 1e-12
+
+
+def test_spmv_zero_drop(spark):
+    # Graphulo MathTwoScalar.java:300-307 zero-drop (sparsity preservation)
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    v = spark.createDataFrame([(1, 0.0)], "v long, x double")
+    assert spmv(e, v, strategy="broadcast").count() == 0
+    assert spmv(e, v, strategy="broadcast", drop_zeros=False).count() == 1
+
+
+def test_spgemm_matches_numpy(spark, edges):
+    a = _dense(EDGES)
+    want = a.T @ a  # Graphulo contract: contraction over rows (AT supplied)
+    got = {(r["src"], r["dst"]): r["w"] for r in spgemm(edges, edges).collect()}
+    for i in range(5):
+        for j in range(5):
+            assert abs(got.get((i, j), 0.0) - want[i, j]) < 1e-12
+
+
+def test_spgemm_no_transpose(spark, edges):
+    a = _dense(EDGES)
+    want = a @ a
+    got = {(r["src"], r["dst"]): r["w"] for r in spgemm(edges, edges, transpose_a=False).collect()}
+    for i in range(5):
+        for j in range(5):
+            assert abs(got.get((i, j), 0.0) - want[i, j]) < 1e-12
+
+
+def test_ewise(spark):
+    a = spark.createDataFrame([(1, 2, 2.0), (1, 3, 3.0)], "src long, dst long, w double")
+    b = spark.createDataFrame([(1, 2, 5.0), (2, 3, 7.0)], "src long, dst long, w double")
+    assert {(r["src"], r["dst"], r["w"]) for r in ewise_mult(a, b).collect()} == {(1, 2, 10.0)}
+    assert {(r["src"], r["dst"], r["w"]) for r in ewise_sum(a, b).collect()} == {
+        (1, 2, 7.0),
+        (1, 3, 3.0),
+        (2, 3, 7.0),
+    }
+    assert {(r["src"], r["dst"]) for r in table_diff(a, b).collect()} == {(1, 3)}
+    assert {(r["src"], r["dst"]) for r in row_selector(b, a).collect()} == {(1, 2)}
+
+
+def test_filters(edges):
+    assert {(r["src"], r["dst"]) for r in triangular_filter(edges, "upper").collect()} == {
+        (1, 2), (1, 3), (2, 3), (3, 4),
+    }
+    assert {(r["src"], r["dst"]) for r in triangular_filter(edges, "diag").collect()} == {(4, 4)}
+    assert minmax_filter(edges, lo=1.0, hi=2.0).count() == 4
+    # src=3 has 2 entries, src=1 has 2, src=2 and 4 have 1 each
+    assert row_degree_filter(edges, min_degree=2).count() == 4
+    assert row_degree_filter(edges, max_degree=1).count() == 2
+
+
+def test_bernoulli_sample_deterministic(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    s1 = bernoulli_sample(df, "k", 10).count()
+    s2 = bernoulli_sample(df, "k", 10).count()
+    assert s1 == s2
+    assert 50 <= s1 <= 200  # ~10%
+
+
+def test_top_k_per_row(edges):
+    got = {(r["src"], r["dst"]) for r in top_k_per_row(edges, 1).collect()}
+    assert got == {(1, 2), (2, 3), (3, 4), (4, 4)}
+
+
+def test_canonicalize(spark):
+    e = spark.createDataFrame(
+        [(2, 1, 1.0), (1, 2, 1.0), (3, 3, 9.0), (1, 3, 2.0)], "src long, dst long, w double"
+    )
+    got = {(r["src"], r["dst"], r["w"]) for r in canonicalize(e).collect()}
+    assert got == {(1, 2, 2.0), (1, 3, 2.0)}
