@@ -1,0 +1,153 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes (the part that matters at 100 TB):
+- exact:     one hash-groupBy — shuffles (digest, id) pairs only, never text.
+- n-gram:    explode shingles → self-join on shingle → count; the join is on
+             the shingle hash (a near-uniform key), so no skew; a frequency
+             cap drops stop-shingles that would otherwise produce quadratic
+             candidate blowup.
+- MinHash:   signature per doc (k md5-min-hashes over shingles), banded LSH:
+             candidates only within equal band-hash buckets — the classic
+             sublinear near-dup path.
+- SimHash:   64-bit signature via per-token md5 bit votes; Hamming-adjacent
+             buckets by band equality.
+
+Hash portability: min-of-md5-hex over salted shingles is a valid min-hash
+family (lexicographic min over a uniformly distributed hex string) and is
+reproducible in any engine with md5 — the DuckDB oracle runs the same SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Word n-gram shingles: DataFrame[id, shingle] (distinct per doc)."""
+    toks = F.split(F.col(text_col), WS)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving doc id per distinct text (min id wins): [keep_id, n_dupes, digest]."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard ≥ threshold: [id_a, id_b, jaccard].
+
+    max_shingle_freq drops shingles shared by more than that many docs before
+    the self-join (stop-shingle cap — the quadratic-blowup guard at scale).
+    """
+    sh = shingles(docs, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c") / (F.col("sa") + F.col("sb") - F.col("c"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 8, n: int = 3
+) -> DataFrame:
+    """[id, sig_0..sig_{k-1}]: sig_i = min over shingles of md5(i ':' shingle)."""
+    sh = shingles(docs, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band (k/bands rows per
+    band). Returns [id_a, id_b, n_bands] — rerank with ngram_jaccard_pairs or
+    exact compare downstream."""
+    assert k % bands == 0
+    rows = k // bands
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col, k=k, n=n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh")))
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    x = buckets.select(F.col("id").alias("id_a"), "band", "bh")
+    y = buckets.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        x.join(y, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+
+def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """[id, simhash]: per-token md5-derived bit votes, sign-aggregated.
+
+    Uses the first ``bits`` bits of md5(token) (portable: hex substring →
+    BIGINT both in Spark and DuckDB). Near-dups have small Hamming distance.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), WS)).alias("tok"),
+    )
+    # token hash as a bits-wide integer from the md5 hex prefix
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("bigint")
+    votes = toks.select("id", h.alias("h"))
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = votes.groupBy("id").agg(*bit_cols)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.cast("bigint").alias("simhash"))

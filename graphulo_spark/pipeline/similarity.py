@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact baseline — a broadcast of the (small) query
+  set against every row; the dot product stays JVM-side via F.aggregate/
+  zip_with (no Python). At 100 TB this is the rerank stage, not the scan.
+- lsh_hyperplane_buckets: the scale path — deterministic random-hyperplane
+  signs bucket vectors; candidates come only from equal buckets, then the
+  exact cosine reranks. Hyperplane components use portable integer
+  arithmetic (Knuth multiplicative hashing) so oracles can reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761
+_MOD = 1000
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: [query_id, vec_id, cosine] (k rows per query,
+    self-match excluded, deterministic tie-break on vec_id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("bv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", F.round(_cosine(F.col("qv"), F.col("bv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("vid").alias("vec_id"), "cosine")
+    )
+
+
+def lsh_hyperplane_buckets(
+    embeddings: DataFrame,
+    *,
+    n_planes: int = 8,
+    table: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[vec_id, bucket]: sign-bit bucket from n deterministic hyperplanes.
+
+    Plane p's component for dimension d is ((d·KNUTH + (97·table+p)·40503)
+    mod 1000 − 500)/500 — a fixed pseudo-random float in [−1, 1) reproducible
+    by any engine with integer arithmetic. Bucket = Σ 2^p·[dot_p ≥ 0].
+    ``table`` selects an independent plane set (for OR-amplified multi-table
+    ANN).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+
+    def _plane_term(salt):
+        return lambda x, d: x * ((((d * _KNUTH + salt) % _MOD) - _MOD / 2) / (_MOD / 2.0))
+
+    for p in range(n_planes):
+        salt = (97 * table + p) * 40503
+        dot = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), _plane_term(salt)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def ann_candidates(
+    embeddings: DataFrame,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs from shared LSH buckets (OR over ``n_tables``
+    independent plane sets) with exact cosine rerank: [id_a, id_b, cosine].
+    Each table's scan is bucket-local — no all-pairs join anywhere."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    buckets = None
+    for t in range(n_tables):
+        b = lsh_hyperplane_buckets(
+            embeddings, n_planes=n_planes, table=t, id_col=id_col, vec_col=vec_col
+        ).select("vec_id", (F.col("bucket") + F.lit(t << n_planes)).alias("bucket"))
+        buckets = b if buckets is None else buckets.unionByName(b)
+    x = buckets.select(F.col("vec_id").alias("id_a"), "bucket")
+    y = buckets.select(F.col("vec_id").alias("id_b"), "bucket")
+    pairs = (
+        x.join(y, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+    )
