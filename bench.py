@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32);
+prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, ...}
+
+--scaling mode (run manually, results recorded in BENCH/BASELINE.md):
+runs the PageRank-superstep job at two parallelism levels (local[N] and
+local[4N], same input) in SEPARATE spark-submit subprocesses (a JVM can't
+change its core count), reports throughput at both plus scaling efficiency —
+the sandbox stand-in for the north rule's N → 4N executor criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _sf_label(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        return -1.0
+
+
+def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
+    from graphulo_spark.algorithms import connected_components, pagerank
+    from graphulo_spark.algorithms.triangles import triangle_count
+    from graphulo_spark.entry import copurchase_edges, transitions_edges
+    from graphulo_spark.linalg import symmetrize
+    from graphulo_spark.pipeline.dedup import minhash_lsh_pairs
+    from graphulo_spark.pipeline.similarity import cosine_topk
+    from graphulo_spark.session import get_spark
+    from graphulo_spark.transcripts import generate_transcripts, induce_edges
+
+    spark = get_spark(app="graphulo-bench", cores=cpus)
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # edge derivation + materialization (the scan+shuffle workload)
+    edges = timed(
+        "edge_derivation",
+        lambda: symmetrize(copurchase_edges(spark, sf_dir)).localCheckpoint(),
+    )
+    n_edges = edges.count()
+    meta["n_edges"] = n_edges
+
+    # PageRank: 10 supersteps (fixed, so runs are comparable across rounds)
+    t0 = time.time()
+    pagerank(spark, edges, tol=0.0, max_iter=10, strategy="broadcast").count()
+    timings["pagerank_10iter"] = round(time.time() - t0, 3)
+    meta["pagerank_supersteps_per_sec"] = round(10.0 / timings["pagerank_10iter"], 4)
+    meta["pagerank_edges_per_sec"] = round(10 * n_edges / timings["pagerank_10iter"], 1)
+
+    timed("connected_components", lambda: connected_components(spark, edges).count())
+    timed("triangle_count", lambda: triangle_count(edges, orientation="degree"))
+    timed(
+        "transcript_edge_induction",
+        lambda: induce_edges(generate_transcripts(spark, 20_000)).count(),
+    )
+    timed(
+        "minhash_lsh_dedup",
+        lambda: minhash_lsh_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), k=8, bands=4
+        ).count(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("cosine_topk", lambda: cosine_topk(emb, emb.orderBy("vec_id").limit(10), k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(sf_dir),
+        "cpus": str(cpus),
+        **meta,
+    }
+    spark.stop()
+    return result
+
+
+def _scaling_child(cpus: str, sf_dir: str) -> dict:
+    """Run the PageRank superstep job in a fresh subprocess at `cpus` cores.
+    Heap is per-core proportional (4g/core): a 4N-executor cluster brings 4x
+    the memory of an N-executor one, so the local[] stand-in must too."""
+    code = (
+        "import json,sys; sys.path.insert(0, %r);"
+        "from bench import pagerank_job; print('RESULT:'+json.dumps(pagerank_job(%r, %r)))"
+        % (REPO, cpus, sf_dir)
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_DRIVER_MEM"] = f"{4 * int(cpus)}g"
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            return json.loads(line[len("RESULT:"):])
+    raise RuntimeError(f"scaling child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def pagerank_job(cpus: str, sf_dir: str, iters: int = 10) -> dict:
+    """The measured scaling job: PageRank supersteps on a transcript-derived
+    link graph (the north-rule input shape: deterministic synthetic
+    transcripts → edge induction → symmetrized edge table). Input is a pure
+    function of SPARK_GRAFT_SCALING_CONVS (default 1M conversations ≈ 21M
+    turns ≈ 12M sym edges) — identical at both parallelism levels.
+    Returns wall time + throughput (edge-traversals/sec over all supersteps)."""
+    from graphulo_spark.algorithms import pagerank
+    from graphulo_spark.linalg import symmetrize
+    from graphulo_spark.session import get_spark
+    from graphulo_spark.transcripts import generate_transcripts, induce_edges
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "3000000"))
+    spark = get_spark(app=f"graphulo-scaling-{cpus}", cores=cpus)
+    t = generate_transcripts(spark, n_convs)
+    edges = symmetrize(induce_edges(t)).localCheckpoint()
+    n_edges = edges.count()
+    # warm-up superstep (JIT/codegen), then measured run
+    pagerank(spark, edges, tol=0.0, max_iter=1, strategy="plain").count()
+    t0 = time.time()
+    pagerank(spark, edges, tol=0.0, max_iter=iters, strategy="plain").count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_convs": n_convs,
+        "n_edges": n_edges,
+        "iters": iters,
+        "wall_s": round(wall, 3),
+        "throughput_edges_per_s": round(iters * n_edges / wall, 1),
+    }
+
+
+def run_scaling(n: int | None = None, sf_dir: str = SF_DIR) -> dict:
+    """N vs 4N cores on identical input. Default N=2 (→ 2 vs 8 cores): the
+    sandbox VM's own multi-core ceiling, measured with a shuffle-free pure
+    codegen job, is ~0.59 efficiency for 8→32 cores but ~0.89 for 2→8 — so
+    2→8 is the pair where the *engine's* scaling is observable rather than
+    the box's memory-subsystem saturation. Both pairs + the ceiling are
+    recorded in BENCH/BASELINE.md."""
+    n = n or int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    los, his = [], []
+    for _ in range(reps):  # interleaved to decorrelate from ambient noise
+        los.append(_scaling_child(str(n), sf_dir))
+        his.append(_scaling_child(str(4 * n), sf_dir))
+    med = lambda rs: sorted(rs, key=lambda r: r["throughput_edges_per_s"])[len(rs) // 2]
+    lo, hi = med(los), med(his)
+    eff = (hi["throughput_edges_per_s"] / lo["throughput_edges_per_s"]) / 4.0
+    return {
+        "metric": "scaling_efficiency_Nto4N",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "low": lo,
+        "high": hi,
+        "reps": reps,
+        "all_low_tput": [r["throughput_edges_per_s"] for r in los],
+        "all_high_tput": [r["throughput_edges_per_s"] for r in his],
+        "sf": _sf_label(sf_dir),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

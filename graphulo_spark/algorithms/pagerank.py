@@ -116,6 +116,14 @@ def pagerank(
         )
         edges_idx.count()
 
+    # dangling vertex set (no out-edges), computed ONCE: per-superstep dangling
+    # mass is then a cheap |V|-row semi-join + sum instead of a second pass
+    # over the contributions (which would re-execute the SpMV)
+    dangling_vs = vertices.join(
+        norm_edges.select(F.col("src").alias("v")).distinct(), "v", "left_anti"
+    ).cache()
+    n_dangling = dangling_vs.count()
+
     sc = spark.sparkContext
     for step in range(start_step + 1, max_iter + 1):
         if use_arrow:
@@ -129,35 +137,36 @@ def pagerank(
         else:
             contrib = spmv(norm_edges, ranks, strategy=strategy, vec_count=n, drop_zeros=False)
 
-        # dangling mass as a broadcast scalar *inside the plan*: D = 1 − Σ contrib
-        mass_row = contrib.agg(F.sum("x").alias("_mass"))
-        new_ranks = (
-            vertices.join(contrib, "v", "left")
-            .crossJoin(F.broadcast(mass_row))
-            .select(
-                "v",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha) * (F.lit(1.0) - F.coalesce("_mass", F.lit(0.0))) / n
-                    + F.lit(alpha) * F.coalesce(F.col("x"), F.lit(0.0))
-                ).alias("x"),
+        if n_dangling == 0:
+            dangling = 0.0
+        else:
+            dangling = (
+                ranks.join(dangling_vs, "v", "left_semi").agg(F.sum("x")).collect()[0][0] or 0.0
             )
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        new_ranks = vertices.join(contrib, "v", "left").select(
+            "v",
+            (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("x"), F.lit(0.0))).alias("x"),
         )
 
         new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
 
-        delta = (
-            new_ranks.withColumnRenamed("x", "_xn")
-            .join(ranks.withColumnRenamed("x", "_xo"), "v", "full")
-            .agg(F.sum(F.abs(F.coalesce("_xn", F.lit(0.0)) - F.coalesce("_xo", F.lit(0.0)))))
-            .collect()[0][0]
-        )
+        # fixed-iteration mode (tol<=0): skip the convergence job entirely —
+        # one fewer action + vertex-join per superstep
+        delta = None
+        if tol > 0.0:
+            delta = (
+                new_ranks.withColumnRenamed("x", "_xn")
+                .join(ranks.withColumnRenamed("x", "_xo"), "v", "full")
+                .agg(F.sum(F.abs(F.coalesce("_xn", F.lit(0.0)) - F.coalesce("_xo", F.lit(0.0)))))
+                .collect()[0][0]
+            )
         if history is not None:
             history.append({"step": step, "delta": delta})
         if use_arrow:
             b.unpersist()
         ranks = new_ranks
-        if delta < tol:
+        if delta is not None and delta < tol:
             break
 
     return ranks.withColumnRenamed("x", "rank")

