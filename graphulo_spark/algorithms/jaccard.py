@@ -21,7 +21,11 @@ from graphulo_spark.linalg.edges import degrees, symmetrize
 def jaccard(edges: DataFrame) -> DataFrame:
     """DataFrame[src, dst, jaccard] for all pairs src<dst with ≥1 common
     neighbor (simple graph semantics: weights ignored)."""
-    sym = symmetrize(edges.select("src", "dst", F.lit(1.0).alias("w")), combine="min").select("src", "dst")
+    sym = (
+        symmetrize(edges.select("src", "dst", F.lit(1.0).alias("w")), combine="min")
+        .select("src", "dst")
+        .cache()  # referenced by both wedge sides and the degree table
+    )
     # wedges centered at k: neighbor pairs (u < v)
     n1 = sym.select(F.col("src").alias("k"), F.col("dst").alias("u"))
     n2 = sym.select(F.col("src").alias("k"), F.col("dst").alias("v"))

@@ -46,7 +46,9 @@ def _oriented(edges: DataFrame, orientation: str) -> DataFrame:
 def triangle_closers(edges: DataFrame, orientation: str = "degree") -> DataFrame:
     """DataFrame of one row per triangle (a<b<c in the orientation order):
     columns (a, b, c). Exact, each triangle exactly once."""
-    e = _oriented(edges, orientation)
+    # materialize once: e is referenced three times below, and without a
+    # cache Spark re-executes the whole upstream derivation per reference
+    e = _oriented(edges, orientation).cache()
     a = e.alias("e1")
     b = e.alias("e2")
     wedges = a.join(b, F.col("e1.dst") == F.col("e2.src")).select(
@@ -64,8 +66,8 @@ def triangle_count(edges: DataFrame, orientation: str = "degree") -> int:
 def edge_support(edges: DataFrame) -> DataFrame:
     """Per-edge triangle participation count (k-truss support), canonical
     (src<dst) key space. Edges in no triangle get support 0."""
-    canon = canonicalize(edges).select("src", "dst")
-    tris = triangle_closers(edges, orientation="id")
+    canon = canonicalize(edges).select("src", "dst").cache()
+    tris = triangle_closers(edges, orientation="id").cache()  # used by 3 union branches
     # each triangle (a<b<c) contributes support to edges (a,b), (b,c), (a,c)
     sup = (
         tris.select(F.col("a").alias("src"), F.col("b").alias("dst"))

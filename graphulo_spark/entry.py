@@ -33,6 +33,8 @@ from graphulo_spark.algorithms import (
     pagerank,
 )
 from graphulo_spark.algorithms.triangles import edge_support, triangle_closers
+from graphulo_spark.algorithms.ktruss import ktruss
+from graphulo_spark.linalg.incidence import edge_bfs, to_incidence
 from graphulo_spark.linalg import (
     bernoulli_sample,
     degrees,
@@ -325,6 +327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
     )
     q["adj_bfs_2hop"] = _bfs_query
+    q["edge_bfs_2hop"] = _edge_bfs_query
+    q["line_graph"] = _line_graph_query
+    q["ktruss_3"] = lambda spark, sf: ktruss(spark, copurchase_edges(spark, sf), k=3)
     q["pagerank_5iter"] = lambda spark, sf: (
         pagerank(spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5)
         .select("v", F.round("rank", 8).alias("rank"))
@@ -368,14 +373,43 @@ def _jaccard_lowpass_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Graphulo JaccardExample's low-pass pattern (examples/JaccardExample.java):
     degree-filter (≤20) the symmetrized graph, keep edges with BOTH endpoints
     surviving, then Jaccard."""
-    sym = symmetrize(copurchase_edges(spark, sf))
+    sym = symmetrize(copurchase_edges(spark, sf)).cache()
     deg = degrees(sym, by="src").filter(F.col("deg") <= 20).select("v")
     kept = (
         sym.join(deg.withColumnRenamed("v", "src"), "src", "left_semi")
         .join(deg.withColumnRenamed("v", "dst"), "dst", "left_semi")
         .select("src", "dst", "w")
     )
-    return kept
+    return kept.cache()  # jaccard() fans this out into three subtrees
+
+
+def _edge_bfs_query(spark: SparkSession, sf: str) -> DataFrame:
+    """EdgeBFS parity (Graphulo.java:1326-1528): 2-hop directed BFS executed
+    through the incidence-table encoding; result equals plain reachability."""
+    e = copurchase_edges(spark, sf)
+    seed = e.agg(F.min("src")).collect()[0][0]
+    inc = to_incidence(e)
+    return edge_bfs(spark, inc, [seed], k=2).select(
+        "v", F.col("dist").cast("int").alias("dist")
+    )
+
+
+def _line_graph_query(spark: SparkSession, sf: str) -> DataFrame:
+    """LineGraph (Graphulo.java:2011-2033) over the transitions graph:
+    pairs of edges sharing an endpoint, endpoints spelled out so the SQL
+    oracle needs no engine-specific edge-id hash."""
+    t = transitions_edges(spark, sf).select("src", "dst").cache()
+    ends = t.select("src", "dst", F.explode(F.array("src", "dst")).alias("shared_v"))
+    a = ends.select(
+        F.col("src").alias("a_src"), F.col("dst").alias("a_dst"), "shared_v"
+    )
+    b = ends.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst"), "shared_v"
+    )
+    pair_lt = (F.col("a_src") < F.col("b_src")) | (
+        (F.col("a_src") == F.col("b_src")) & (F.col("a_dst") < F.col("b_dst"))
+    )
+    return a.join(b, "shared_v").filter(pair_lt).distinct()
 
 
 def _bfs_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -508,6 +542,27 @@ d2 AS (
 SELECT s AS v, CAST(0 AS INT) AS dist FROM seed
 UNION ALL SELECT v, CAST(1 AS INT) FROM d1
 UNION ALL SELECT v, CAST(2 AS INT) FROM d2"""
+    o["edge_bfs_2hop"] = f"""
+WITH {COPURCHASE_CTE.strip()},
+seed AS (SELECT MIN(src) AS s FROM copurchase),
+d1 AS (SELECT DISTINCT e.dst AS v FROM copurchase e JOIN seed ON e.src = seed.s),
+d2 AS (
+  SELECT DISTINCT e.dst AS v FROM copurchase e JOIN d1 ON e.src = d1.v
+  WHERE e.dst != (SELECT s FROM seed) AND e.dst NOT IN (SELECT v FROM d1)
+)
+SELECT s AS v, CAST(0 AS INT) AS dist FROM seed
+UNION ALL SELECT v, CAST(1 AS INT) FROM d1
+UNION ALL SELECT v, CAST(2 AS INT) FROM d2"""
+    o["line_graph"] = f"""
+WITH {TRANSITIONS_CTE.strip()},
+t AS (SELECT DISTINCT src, dst FROM trans),
+ends AS (
+  SELECT src, dst, src AS shared_v FROM t
+  UNION ALL SELECT src, dst, dst AS shared_v FROM t
+)
+SELECT DISTINCT a.src AS a_src, a.dst AS a_dst, b.src AS b_src, b.dst AS b_dst, a.shared_v
+FROM ends a JOIN ends b ON a.shared_v = b.shared_v
+WHERE a.src < b.src OR (a.src = b.src AND a.dst < b.dst)"""
     o["pagerank_5iter"] = _pagerank_sql(5)
     o["connected_components"] = _cc_sql(15)
     o["label_propagation_3iter"] = _lp_sql(3)

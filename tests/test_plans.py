@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the optimizations we rely on at 100 TB must
+be visible in .explain() — pushdown to the parquet scan, column pruning,
+intended join strategies, windowed top-k group-limits."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphulo_spark.linalg import spmv, top_k_per_row
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter((F.col("l_shipdate") < "1995-06-01") & (F.col("l_discount") >= 0.02))
+        .select("l_orderkey", "l_extendedprice")
+    )
+    p = _plan(df)
+    assert "PushedFilters" in p
+    assert "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount,0.02)" in p
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    p = _plan(df)
+    sch = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in sch and "l_partkey" in sch
+    assert "l_extendedprice" not in sch  # untouched columns never leave the scan
+
+
+def test_topk_uses_window_group_limit(spark):
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    p = _plan(top_k_per_row(e, 3))
+    assert "WindowGroupLimit" in p  # rank-limit pushdown, not a full sort
+
+
+def test_spmv_plain_uses_shuffled_hash_join(spark):
+    e = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "l_orderkey AS src", "l_partkey AS dst", "CAST(1.0 AS DOUBLE) AS w"
+    )
+    v = spark.range(100).selectExpr("id AS v", "CAST(1.0 AS DOUBLE) AS x")
+    p = _plan(spmv(e, v, strategy="plain"))
+    assert "ShuffledHashJoin" in p  # no |E|-row sort feeding the hash agg
+
+
+def test_spmv_broadcast_uses_broadcast_join(spark):
+    e = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "l_orderkey AS src", "l_partkey AS dst", "CAST(1.0 AS DOUBLE) AS w"
+    )
+    v = spark.range(100).selectExpr("id AS v", "CAST(1.0 AS DOUBLE) AS x")
+    p = _plan(spmv(e, v, strategy="broadcast"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_spmv_auto_picks_by_vector_size(spark):
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    v = spark.range(10).selectExpr("id AS v", "CAST(1.0 AS DOUBLE) AS x")
+    small = _plan(spmv(e, v, strategy="auto", vec_count=10))
+    assert "BroadcastHashJoin" in small
+    big = _plan(spmv(e, v, strategy="auto", vec_count=10_000_000))
+    assert "_salt" in big  # hub-salting path engaged above the threshold
