@@ -1,0 +1,94 @@
+"""SCC vs a python Tarjan oracle on random digraphs (SCCGraphulo parity)."""
+
+from __future__ import annotations
+
+import random
+
+from graphulo_spark.algorithms.scc import scc
+
+
+def tarjan_scc(edge_list):
+    """Iterative Tarjan; returns {v: min vertex id of its SCC}."""
+    adj = {}
+    vs = set()
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+        vs.update((s, d))
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+
+    for root in sorted(vs):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return out
+
+
+def _rand_digraph(n, m, seed):
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        s, d = rng.randrange(n), rng.randrange(n)
+        if s != d:
+            es.add((s, d))
+    return sorted(es)
+
+
+def test_scc_cycle_plus_tail(spark):
+    el = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame([(s, d, 1.0) for s, d in el], "src long, dst long, w double")
+    got = {r["v"]: r["scc"] for r in scc(spark, df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_scc_two_cycles_bridge(spark):
+    el = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)]
+    df = spark.createDataFrame([(s, d, 1.0) for s, d in el], "src long, dst long, w double")
+    got = {r["v"]: r["scc"] for r in scc(spark, df).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_scc_random_oracle(spark):
+    el = _rand_digraph(40, 90, seed=17)
+    want = tarjan_scc(el)
+    df = spark.createDataFrame([(s, d, 1.0) for s, d in el], "src long, dst long, w double")
+    got = {r["v"]: r["scc"] for r in scc(spark, df).collect()}
+    assert got == want

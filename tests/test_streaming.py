@@ -1,0 +1,47 @@
+"""Streaming edge ingestion: streamed result == batch result on the same turns."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphulo_spark.streaming import stream_edge_counts, stream_induce_edges
+from graphulo_spark.streaming.edges import read_edge_partials
+from graphulo_spark.transcripts import generate_transcripts, induce_edges
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    t = generate_transcripts(spark, 200)
+    # arrival in conversation-complete chunks (3 file drops)
+    for i in range(3):
+        t.filter(f"pmod(xxhash64(conv_id), 3) = {i}").coalesce(1).write.mode("append").parquet(inp)
+
+    q = stream_induce_edges(spark, inp, outp, ckpt)
+    q.awaitTermination(240)
+
+    got = {(r["src"], r["dst"]): r["w"] for r in read_edge_partials(spark, outp).collect()}
+    want = {(r["src"], r["dst"]): r["w"] for r in induce_edges(t).collect()}
+    assert got == want
+
+
+def test_stream_resumes_from_checkpoint(spark, tmp_path):
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    t = generate_transcripts(spark, 120)
+    t.filter("pmod(xxhash64(conv_id), 2) = 0").coalesce(1).write.mode("append").parquet(inp)
+    q = stream_induce_edges(spark, inp, outp, ckpt)
+    q.awaitTermination(240)
+    # second wave of files; restart from the same checkpoint — no reprocessing
+    t.filter("pmod(xxhash64(conv_id), 2) = 1").coalesce(1).write.mode("append").parquet(inp)
+    q2 = stream_induce_edges(spark, inp, outp, ckpt)
+    q2.awaitTermination(240)
+    got = {(r["src"], r["dst"]): r["w"] for r in read_edge_partials(spark, outp).collect()}
+    want = {(r["src"], r["dst"]): r["w"] for r in induce_edges(t).collect()}
+    assert got == want
+
+
+def test_windowed_counts_plan_is_streaming(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    generate_transcripts(spark, 20).coalesce(1).write.parquet(inp)
+    df = stream_edge_counts(spark, inp)
+    assert df.isStreaming
+    assert "window" in df.columns and "entity" in df.columns
