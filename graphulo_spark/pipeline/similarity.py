@@ -120,3 +120,31 @@ def ann_candidates(
         .join(vb, "id_b")
         .select("id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
     )
+
+
+def bray_curtis_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs Bray-Curtis dissimilarity BC = 1 - 2*sum(min(a,b))/(sum a + sum b)
+    over nonnegative vectors (Graphulo cartesianProductBrayCurtis,
+    Graphulo.java:4387-4398, graphulo_ocean/CartesianDissimilarityIterator.java).
+    Quadratic by definition -- for scale, pre-bucket with lsh_hyperplane_buckets
+    and run this within buckets."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    summin = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: F.least(x, y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    tot = F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x) + F.aggregate(
+        F.col("vb"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (1 - 2 * summin / tot).alias("bray_curtis"))
+    )

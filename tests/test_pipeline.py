@@ -156,3 +156,13 @@ def test_sample_frames(spark):
     fr = sample_frames(media, every_n=50).collect()
     assert all(r["frame_idx"] % 50 == 0 for r in fr)
     assert len(fr) > 0
+
+
+def test_bray_curtis(spark):
+    from graphulo_spark.pipeline.similarity import bray_curtis_pairs
+
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [3.0, 0.0, 0.0])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["bray_curtis"] for r in bray_curtis_pairs(v).collect()}
+    assert abs(got[(1, 2)]) < 1e-12                      # identical -> 0
+    assert abs(got[(1, 3)] - (1 - 2 * 1.0 / 9.0)) < 1e-12  # min-overlap 1, totals 6+3
