@@ -123,6 +123,13 @@ def pagerank(
         norm_edges.select(F.col("src").alias("v")).distinct(), "v", "left_anti"
     ).cache()
     n_dangling = dangling_vs.count()
+    # no-in-edge vertex set, computed ONCE: contributions cover exactly the
+    # complement, so new ranks are contrib ∪ noin — a union instead of a
+    # per-superstep |V|-vs-|V| sort-merge join against the vertex table
+    noin_vs = vertices.join(
+        norm_edges.select(F.col("dst").alias("v")).distinct(), "v", "left_anti"
+    ).cache()
+    n_noin = noin_vs.count()
 
     sc = spark.sparkContext
     for step in range(start_step + 1, max_iter + 1):
@@ -144,10 +151,9 @@ def pagerank(
                 ranks.join(dangling_vs, "v", "left_semi").agg(F.sum("x")).collect()[0][0] or 0.0
             )
         base = (1.0 - alpha) / n + alpha * dangling / n
-        new_ranks = vertices.join(contrib, "v", "left").select(
-            "v",
-            (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("x"), F.lit(0.0))).alias("x"),
-        )
+        new_ranks = contrib.select("v", (F.lit(base) + F.lit(alpha) * F.col("x")).alias("x"))
+        if n_noin > 0:
+            new_ranks = new_ranks.unionByName(noin_vs.select("v", F.lit(base).alias("x")))
 
         new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
 
