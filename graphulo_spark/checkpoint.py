@@ -33,7 +33,6 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
 
@@ -63,21 +62,26 @@ class SuperstepCheckpointer:
         t0 = time.time()
         state.write.mode("overwrite").parquet(data_path)
         reread = self.spark.read.parquet(data_path)
-        part_metrics = (
-            reread.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        )
+        # per-partition metrics from parquet footers (driver-side, no extra
+        # Spark job per superstep): one entry per written partition file
+        import pyarrow.parquet as pq
+
+        part_metrics = {}
+        for fn in sorted(os.listdir(data_path)):
+            if fn.startswith("part-") and fn.endswith(".parquet"):
+                fpath = os.path.join(data_path, fn)
+                md = pq.ParquetFile(fpath).metadata
+                part_metrics[fn] = {"rows": md.num_rows, "bytes": os.path.getsize(fpath)}
         manifest = {
             "step": step,
             "params_hash": self.params_hash,
             "params": {k: str(v) for k, v in self.params.items()},
             "schema": reread.schema.json(),
             "partitioner": {
-                "num_partitions": reread.rdd.getNumPartitions(),
+                "num_partitions": len(part_metrics),
                 "layout": "parquet-files",
             },
-            "partition_metrics": {str(r["pid"]): r["rows"] for r in part_metrics},
+            "partition_metrics": part_metrics,
             "lineage": {
                 "parent_step": step - 1 if step > 0 else None,
                 "wall_time_s": round(time.time() - t0, 4),

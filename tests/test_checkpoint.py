@@ -54,7 +54,8 @@ def test_manifest_contents(spark, tmp_path):
     assert m["lineage"]["parent_step"] == 1
     assert m["partitioner"]["num_partitions"] >= 1
     n_vertices = df.selectExpr("src AS v").union(df.selectExpr("dst AS v")).distinct().count()
-    assert sum(int(v) for v in m["partition_metrics"].values()) == n_vertices
+    assert sum(p["rows"] for p in m["partition_metrics"].values()) == n_vertices
+    assert all(p["bytes"] > 0 for p in m["partition_metrics"].values())
 
 
 def test_resume_refuses_mismatched_params(spark, tmp_path):
