@@ -181,8 +181,77 @@ def run_scaling(n: int | None = None, sf_dir: str = SF_DIR) -> dict:
     }
 
 
+def _ceiling_child(cpus: str, kind: str) -> dict:
+    """Hardware-ceiling probes: 'codegen' = shuffle-free whole-stage-codegen
+    compute; 'shuffle' = plain groupBy-sum over hashed keys (the SpMV
+    aggregate shape, minus the engine). Both parallelize perfectly in
+    principle — what they lose on this box is the box, not the engine."""
+    code = (
+        "import json,sys; sys.path.insert(0, %r);"
+        "from bench import ceiling_job; print('RESULT:'+json.dumps(ceiling_job(%r, %r)))"
+        % (REPO, cpus, kind)
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_DRIVER_MEM"] = f"{4 * int(cpus)}g"
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            return json.loads(line[len("RESULT:"):])
+    raise RuntimeError(f"ceiling child failed:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
+
+
+def ceiling_job(cpus: str, kind: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from graphulo_spark.session import get_spark
+
+    spark = get_spark(app=f"ceiling-{kind}-{cpus}", cores=cpus)
+    def make(salt: int):
+        # distinct constant per run: Spark 4 can reuse results of an
+        # identical repeated query, so warm and timed plans must differ
+        if kind == "codegen":
+            df = spark.range(0, 3_000_000_000, 1, int(cpus) * 4)
+            return df.select(F.xxhash64((F.col("id") * 31 + salt)).alias("h")).agg(
+                F.sum(F.pmod(F.col("h"), F.lit(1000)))
+            ), 3_000_000_000
+        df = spark.range(0, 100_000_000, 1, int(cpus) * 4)
+        return (
+            df.select(
+                F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(5_000_000)).alias("k"),
+                (F.col("id") % 97).cast("double").alias("x"),
+            )
+            .groupBy("k")
+            .agg(F.sum("x"))
+        ), 100_000_000
+
+    warm, _ = make(7)
+    warm.count() if kind == "shuffle" else warm.collect()
+    q, rows = make(13)
+    t0 = time.time()
+    q.count() if kind == "shuffle" else q.collect()
+    wall = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "kind": kind, "wall_s": round(wall, 3), "rows_per_s": round(rows / wall, 1)}
+
+
+def run_ceiling(n: int | None = None) -> dict:
+    n = n or int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+    out = {}
+    for kind in ("codegen", "shuffle"):
+        lo = _ceiling_child(str(n), kind)
+        hi = _ceiling_child(str(4 * n), kind)
+        out[kind] = {
+            "low": lo,
+            "high": hi,
+            "efficiency": round((hi["rows_per_s"] / lo["rows_per_s"]) / 4.0, 4),
+        }
+    return {"metric": "hardware_ceiling_Nto4N", "pairs": out, "n": n}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ceiling" in sys.argv:
+        print(json.dumps(run_ceiling()))
     else:
         print(json.dumps(run_headline()))

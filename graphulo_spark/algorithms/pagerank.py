@@ -131,6 +131,26 @@ def pagerank(
     ).cache()
     n_noin = noin_vs.count()
 
+    # hub-vertex set, computed ONCE from the static degree distribution:
+    # sources owning more than ~1/(4·partitions) of all edges would make one
+    # shuffle partition a straggler; their edges go through a broadcast of
+    # the hub slice of the rank vector instead (see linalg.spmv hot_keys —
+    # the Graphulo power-law-split idea, Graphulo.java:2701-2739, applied to
+    # the join). Bounded: at most 4·partitions keys can exceed the threshold.
+    hot_keys: list[int] = []
+    if strategy in ("plain", "auto"):
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        m_edges = norm_edges.count()
+        hot_thr = max(1000, m_edges // (4 * n_parts))
+        hot_keys = [
+            r["src"]
+            for r in norm_edges.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") > hot_thr)
+            .select("src")
+            .collect()
+        ]
+
     sc = spark.sparkContext
     for step in range(start_step + 1, max_iter + 1):
         if use_arrow:
@@ -142,7 +162,14 @@ def pagerank(
             b = sc.broadcast(rvec)
             contrib = spmv_arrow(edges_idx, b).join(vidx, "vi").select("v", "x")
         else:
-            contrib = spmv(norm_edges, ranks, strategy=strategy, vec_count=n, drop_zeros=False)
+            contrib = spmv(
+                norm_edges,
+                ranks,
+                strategy=strategy,
+                vec_count=n,
+                drop_zeros=False,
+                hot_keys=hot_keys or None,
+            )
 
         if n_dangling == 0:
             dangling = 0.0

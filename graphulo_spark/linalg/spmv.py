@@ -79,13 +79,30 @@ def spmv(
     nsalt: int = DEFAULT_NSALT,
     broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
     vec_count: int | None = None,
+    hot_keys: list[int] | None = None,
 ) -> DataFrame:
     """y[dst] = ⊕_{src} w(src,dst) ⊗ x[src]  (transpose=True gathers on src).
 
     ⊗ is multiplication; ⊕ ∈ {sum, min, max} (Graphulo MathTwoScalar PLUS /
     MIN / MAX fold, simplemult/MathTwoScalar.java:36-39).
+
+    ``hot_keys``: explicit hub-vertex ids on the gather side. Their edges are
+    routed through a broadcast of the (tiny) hub slice of the vector instead
+    of the shuffle join, so no shuffle partition owns a hub's entire edge
+    list — the straggler killer for power-law graphs. Callers that loop
+    (pagerank etc.) compute the hub set ONCE from the static degree
+    distribution and pass it every superstep.
     """
     gather_from, gather_to = ("dst", "src") if transpose else ("src", "dst")
+
+    hot_contrib = None
+    if hot_keys:
+        hot_vec = vec.filter(vec["v"].isin(*hot_keys))
+        hot_edges = edges.filter(edges[gather_from].isin(*hot_keys))
+        hot_contrib = hot_edges.join(
+            F.broadcast(hot_vec), hot_edges[gather_from] == hot_vec["v"], "inner"
+        ).select(hot_edges[gather_to].alias("_to"), (hot_edges["w"] * hot_vec["x"]).alias("_contrib"))
+        edges = edges.filter(~edges[gather_from].isin(*hot_keys))
 
     if strategy == "auto":
         n = vec_count if vec_count is not None else None
@@ -109,6 +126,9 @@ def spmv(
         joined = edges.join(vec.hint("shuffle_hash"), edges[gather_from] == vec["v"], "inner").select(
             edges[gather_to].alias("_to"), (edges["w"] * vec["x"]).alias("_contrib")
         )
+
+    if hot_contrib is not None:
+        joined = joined.unionByName(hot_contrib)
 
     agg = {"sum": F.sum, "min": F.min, "max": F.max}[plus]
     out = joined.groupBy(F.col("_to").alias("v")).agg(agg("_contrib").alias("x"))

@@ -132,3 +132,14 @@ def test_canonicalize(spark):
     )
     got = {(r["src"], r["dst"], r["w"]) for r in canonicalize(e).collect()}
     assert got == {(1, 2, 2.0), (1, 3, 2.0)}
+
+
+def test_spmv_hot_keys_matches_plain(spark, edges, vec):
+    import numpy as np
+
+    a = _dense(EDGES)
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    want = a.T @ x
+    got = {r["v"]: r["x"] for r in spmv(edges, vec, strategy="plain", hot_keys=[1, 3]).collect()}
+    for d in range(5):
+        assert abs(got.get(d, 0.0) - want[d]) < 1e-12
