@@ -171,16 +171,28 @@ def pagerank(
                 hot_keys=hot_keys or None,
             )
 
-        if n_dangling == 0:
-            dangling = 0.0
-        else:
-            dangling = (
-                ranks.join(dangling_vs, "v", "left_semi").agg(F.sum("x")).collect()[0][0] or 0.0
-            )
-        base = (1.0 - alpha) / n + alpha * dangling / n
-        new_ranks = contrib.select("v", (F.lit(base) + F.lit(alpha) * F.col("x")).alias("x"))
+        pre = contrib
         if n_noin > 0:
-            new_ranks = new_ranks.unionByName(noin_vs.select("v", F.lit(base).alias("x")))
+            pre = pre.unionByName(noin_vs.select("v", F.lit(0.0).alias("x")))
+        if n_dangling == 0:
+            new_ranks = pre.select(
+                "v", (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.col("x")).alias("x")
+            )
+        else:
+            # dangling mass enters the plan as a broadcast single-row cross
+            # join — no driver round-trip, so fixed-iteration mode runs exactly
+            # ONE action per superstep (the state materialization)
+            dang = ranks.join(dangling_vs, "v", "left_semi").agg(
+                F.coalesce(F.sum("x"), F.lit(0.0)).alias("_dm")
+            )
+            new_ranks = pre.crossJoin(F.broadcast(dang)).select(
+                "v",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * F.col("_dm") / F.lit(float(n))
+                    + F.lit(alpha) * F.col("x")
+                ).alias("x"),
+            )
 
         new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
 

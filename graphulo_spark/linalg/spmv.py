@@ -25,8 +25,10 @@ edge rows. Three defenses, chosen by ``strategy``:
   trick as Graphulo triCountMagic2's reversed-byte row scatter
   (Graphulo.java:2990-3084, UpperTriTwoJoin.java:125-135) — explicit skew
   salting — generalized to the join instead of the table layout.
-- 'auto': broadcast below ``broadcast_threshold`` distinct vertices, salted
-  above. AQE skew-join splitting stays on as a second line of defense.
+- 'auto': broadcast below ``broadcast_threshold`` distinct vertices (when the
+  caller supplies ``vec_count``), salted above, plain shuffled-hash join when
+  the size is unknown (safe at any scale — never guess-broadcast). AQE
+  skew-join splitting stays on as a second line of defense.
 
 The groupBy side (hot dst) is already safe: partial aggregation combines a
 hub's contributions map-side before the shuffle.
@@ -105,11 +107,13 @@ def spmv(
         edges = edges.filter(~edges[gather_from].isin(*hot_keys))
 
     if strategy == "auto":
-        n = vec_count if vec_count is not None else None
-        if n is None:
-            strategy = "broadcast"  # caller passes vec_count when vectors are huge
+        if vec_count is None:
+            # unknown vector size: the safe default is the plain shuffled-hash
+            # join (correct at ANY size); broadcast only when the caller has
+            # proven the vector small via vec_count
+            strategy = "plain"
         else:
-            strategy = "broadcast" if n <= broadcast_threshold else "salted"
+            strategy = "broadcast" if vec_count <= broadcast_threshold else "salted"
 
     if strategy == "broadcast":
         joined = edges.join(F.broadcast(vec), edges[gather_from] == vec["v"], "inner").select(

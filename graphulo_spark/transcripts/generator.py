@@ -35,7 +35,7 @@ def generate_transcripts(
 ) -> DataFrame:
     """One row per turn; deterministic for a given (n_convs, seed, …)."""
     convs = spark.range(0, n_convs, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    convs = convs.select(F.format_string("c%08d", F.col("id")).alias("conv_id"))
+    convs = convs.select("id", F.format_string("c%08d", F.col("id")).alias("conv_id"))
 
     # capped Zipf length: u ∈ (0,1] hashed; len = min(cap, ceil(min_len·u^(−1/(s−1))))
     u = (F.pmod(F.xxhash64(F.col("conv_id"), F.lit(seed)), F.lit(1_000_000)) + 1) / 1_000_000.0
@@ -46,9 +46,20 @@ def generate_transcripts(
     convs = convs.withColumn("_len", length)
 
     # global turn counter for ts: cumulative length of all earlier conv_ids.
-    # Window over conv_id — a one-time O(|convs|) sort, not O(turns).
-    w = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
-    convs = convs.withColumn("_offset", F.coalesce(F.sum("_len").over(w), F.lit(0)))
+    # Two-level prefix sum instead of a global window (which would funnel all
+    # conversation rows through ONE task): spark.range partitions are
+    # contiguous id slices, so global offset = (sum of earlier partitions'
+    # totals) + (within-partition cumsum by id). The cross-partition prefix is
+    # a |partitions|-row window — bounded, broadcast-joined back. Values are
+    # identical to the single-window formulation at any parallelism level.
+    convs = convs.withColumn("_pid", F.spark_partition_id())
+    part_tot = convs.groupBy("_pid").agg(F.sum("_len").alias("_tot"), F.min("id").alias("_mid"))
+    wp = Window.orderBy("_mid").rowsBetween(Window.unboundedPreceding, -1)
+    part_pre = part_tot.select("_pid", F.coalesce(F.sum("_tot").over(wp), F.lit(0)).alias("_pre"))
+    wl = Window.partitionBy("_pid").orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    convs = convs.join(F.broadcast(part_pre), "_pid").withColumn(
+        "_offset", F.col("_pre") + F.coalesce(F.sum("_len").over(wl), F.lit(0))
+    )
 
     turns = convs.select(
         "conv_id",
