@@ -82,8 +82,19 @@ def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "transcript_edge_induction",
         lambda: induce_edges(generate_transcripts(spark, 20_000)).count(),
     )
+    # production hash family (xxhash64): the md5 family exists for DuckDB
+    # oracle portability and costs ~5-10x more CPU per shingle — the driver
+    # correctness gate checks the md5 path, the bench measures the one a real
+    # pipeline would run. Both families are the same banded-LSH plan.
     timed(
         "minhash_lsh_dedup",
+        lambda: minhash_lsh_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            k=8, bands=4, hash_family="xxhash64",
+        ).count(),
+    )
+    timed(
+        "minhash_lsh_dedup_md5",
         lambda: minhash_lsh_pairs(
             spark.read.parquet(f"{sf_dir}/documents.parquet"), k=8, bands=4
         ).count(),

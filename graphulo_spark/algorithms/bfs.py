@@ -69,3 +69,51 @@ def adj_bfs(
         frontier = new_frontier
 
     return visited
+
+
+def single_bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: Iterable[int] | DataFrame,
+    k: int,
+    *,
+    directed: bool = False,
+) -> DataFrame:
+    """SingleBFS (Graphulo.java:1729-1904): BFS carried in ONE distance table
+    instead of a frontier set — the reference keeps (vertex → dist) entries in
+    a single Accumulo table and relaxes them in place. Spark restatement: the
+    dist vector iterated under the (min, +1) semiring,
+
+        d_{t+1}(v) = min(d_t(v), 1 + min_{u→v} d_t(u)),
+
+    one join + groupBy(min) + outer-merge per step. Returns [v, dist] for
+    every vertex reached within k hops — identical to adj_bfs (asserted in
+    tests, the reference's cross-implementation equality pattern).
+    """
+    g = edges if directed else symmetrize(edges)
+    g = g.select("src", "dst").cache()
+
+    if isinstance(seeds, DataFrame):
+        dist = seeds.select(F.col(seeds.columns[0]).cast("long").alias("v")).distinct()
+    else:
+        dist = spark.createDataFrame([(int(s),) for s in seeds], "v long")
+    dist = dist.select("v", F.lit(0).alias("dist")).localCheckpoint()
+
+    for _step in range(1, k + 1):
+        relaxed = (
+            g.join(dist.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg((F.min("dist") + 1).alias("_nd"))
+        )
+        dist = (
+            dist.join(relaxed, "v", "full")
+            .select(
+                "v",
+                F.least(
+                    F.coalesce("dist", F.lit(1 << 30)), F.coalesce("_nd", F.lit(1 << 30))
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+
+    return dist

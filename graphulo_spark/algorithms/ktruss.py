@@ -51,3 +51,51 @@ def ktruss(
         n = m
 
     return cur
+
+
+def ktruss_edge(
+    spark: SparkSession,
+    incidence: DataFrame,
+    k: int,
+    *,
+    max_iter: int = 100,
+) -> DataFrame:
+    """kTrussEdge (Graphulo.java:3248-3379): the k-truss fixpoint run with the
+    state RESIDENT IN THE INCIDENCE ENCODING — the loop filters incidence rows
+    by surviving edge ids each iteration (the reference keeps its E table and
+    deletes weak edge rows), reconstructing the adjacency view only to score
+    support. Returns the surviving incidence rows [edge_id, end, v].
+
+    Equality with the adjacency-path ktruss() is asserted in tests — the
+    reference's own cross-implementation check (TriangleCountExample.java
+    pattern, AlgorithmTest.java:236-409).
+    """
+    cur = incidence.select("edge_id", "end", "v").localCheckpoint()
+    n = cur.select("edge_id").distinct().count()
+
+    for _ in range(1, max_iter + 1):
+        # endpoints per surviving edge row, support scored in canonical space
+        ends = (
+            cur.filter(F.col("end") == "out")
+            .select("edge_id", F.col("v").alias("_u"))
+            .join(cur.filter(F.col("end") == "in").select("edge_id", F.col("v").alias("_v")), "edge_id")
+            .select(
+                "edge_id",
+                F.least("_u", "_v").alias("src"),
+                F.greatest("_u", "_v").alias("dst"),
+            )
+        )
+        sup_ok = (
+            edge_support(canonicalize(ends.withColumn("w", F.lit(1.0))))
+            .filter(F.col("support") >= k - 2)
+            .select("src", "dst")
+        )
+        keep_ids = ends.join(sup_ok, ["src", "dst"], "left_semi").select("edge_id")
+        kept = cur.join(keep_ids, "edge_id", "left_semi").localCheckpoint()
+        m = kept.select("edge_id").distinct().count()
+        cur = kept
+        if m == n:
+            break
+        n = m
+
+    return cur

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from graphulo_spark.checkpoint import SuperstepCheckpointer
+from graphulo_spark.checkpoint import SuperstepCheckpointer, input_fingerprint
 from graphulo_spark.linalg.edges import symmetrize
 
 
@@ -31,19 +31,24 @@ def label_propagation(
     resume: bool = False,
 ) -> DataFrame:
     """Returns DataFrame[v: long, label: long] after ``iters`` supersteps."""
-    params = {"alg": "lp", "iters": iters}
-    ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params) if checkpoint_dir else None
+    ckpt = None
+    if checkpoint_dir:
+        # note: iters is NOT part of the params hash — resuming with a larger
+        # iteration budget is a legitimate continuation (like pagerank max_iter)
+        params = {
+            "alg": "lp",
+            "input_fp": input_fingerprint(edges, "src", "dst", "w"),
+        }
+        ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params)
+        ckpt.prepare(resume)
 
     sym = symmetrize(edges, combine="sum")
     if ckpt:
-        import os
-
-        sym_path = f"{ckpt.run_dir}/sym_edges"
-        if not (resume and os.path.exists(sym_path)):
-            sym.write.mode("overwrite").parquet(sym_path)
-        sym = spark.read.parquet(sym_path)
-    else:
-        sym = sym.cache()
+        sym = ckpt.side_input("sym_edges", sym, resume=resume)
+    # static big side of every round's vote join: partition by the join key
+    # once so rounds shuffle only the O(|V|) label table (see pagerank)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = sym.repartition(n_parts, "src").cache()
 
     vertices = sym.select(F.col("src").alias("v")).distinct()
 

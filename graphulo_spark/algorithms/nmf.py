@@ -29,16 +29,64 @@ def _factor_cols(k: int) -> list[str]:
     return [f"f{i}" for i in range(k)]
 
 
-def _init_factor(df: DataFrame, id_col: str, k: int, seed: int) -> DataFrame:
+def _init_factor(df: DataFrame, id_col: str, k: int, seed: int, family: str = "xxhash") -> DataFrame:
     """Deterministic pseudo-random nonneg init (RandomTopicApply analog,
-    apply/RandomTopicApply.java:26-88 — but reproducible from the id hash)."""
-    cols = [
-        (
-            (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + i)), F.lit(1000)) + 1) / 1000.0
-        ).alias(f"f{i}")
-        for i in range(k)
-    ]
+    apply/RandomTopicApply.java:26-88 — but reproducible from the id hash).
+    family='md5' uses an engine-portable hash (md5 hex prefix → BIGINT), so a
+    SQL oracle can reproduce the whole factorization bit-for-bit."""
+    if family == "md5":
+        def _h(i):
+            hx = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed + i}")))
+            return F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint")
+        cols = [((F.pmod(_h(i), F.lit(1000)) + 1) / 1000.0).alias(f"f{i}") for i in range(k)]
+    else:
+        cols = [
+            (
+                (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + i)), F.lit(1000)) + 1) / 1000.0
+            ).alias(f"f{i}")
+            for i in range(k)
+        ]
     return df.select(F.col(id_col).alias("id"), *cols)
+
+
+def _gram(f: DataFrame, k: int) -> "object":
+    """FᵀF as a k×k numpy array — one agg over k(k+1)/2 column expressions."""
+    import numpy as np
+
+    fcols = _factor_cols(k)
+    aggs = [
+        F.sum(F.col(fcols[i]) * F.col(fcols[j])).alias(f"g_{i}_{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    row = f.agg(*aggs).collect()[0]
+    g = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            g[i, j] = g[j, i] = row[f"g_{i}_{j}"]
+    return g
+
+
+def _solve_side(a_keyed: DataFrame, other_factor: DataFrame, k: int, gram: "object", eps: float) -> DataFrame:
+    """new = onlyPos(inv(G+εI) · (FᵀA)) — FᵀA via join+agg, inverse on driver."""
+    import numpy as np
+
+    fcols = _factor_cols(k)
+    inv = np.linalg.inv(gram + eps * np.eye(k))
+    fta = (
+        a_keyed.join(other_factor.withColumnRenamed("id", "other"), "other")
+        .groupBy("id")
+        .agg(*[F.sum(F.col("w") * F.col(c)).alias(f"t{i}") for i, c in enumerate(fcols)])
+    )
+    # new_f[j] = max(0, Σ_i inv[j,i] · t_i) — k² term expansion, JVM-side
+    new_cols = []
+    for j in range(k):
+        expr = None
+        for i in range(k):
+            term = F.lit(float(inv[j, i])) * F.col(f"t{i}")
+            expr = term if expr is None else expr + term
+        new_cols.append(F.greatest(expr, F.lit(0.0)).alias(fcols[j]))
+    return fta.select("id", *new_cols)
 
 
 def nmf(
@@ -49,57 +97,33 @@ def nmf(
     max_iter: int = 10,
     seed: int = 42,
     eps: float = 1e-9,
+    init: str = "xxhash",
 ) -> tuple[DataFrame, DataFrame]:
     """Factor the sparse matrix A(src,dst)=w. Returns (W, H):
     W = DataFrame[id(src-space), f0..f{k-1}], H = DataFrame[id(dst-space), ...].
     Alternating nonneg least squares, exactly the reference's update rule."""
-    import numpy as np
-
-    fcols = _factor_cols(k)
     rows = edges.select(F.col("src").alias("id")).distinct()
     cols_ = edges.select(F.col("dst").alias("id")).distinct()
-    w_df = _init_factor(rows, "id", k, seed).localCheckpoint()
-    h_df = _init_factor(cols_, "id", k, seed + 1000).localCheckpoint()
+    w_df = _init_factor(rows, "id", k, seed, init).localCheckpoint()
+    h_df = _init_factor(cols_, "id", k, seed + 1000, init).localCheckpoint()
 
     a_by_src = edges.select(F.col("src").alias("id"), F.col("dst").alias("other"), "w").cache()
     a_by_dst = edges.select(F.col("dst").alias("id"), F.col("src").alias("other"), "w").cache()
 
-    def _gram(f: DataFrame) -> "np.ndarray":
-        aggs = [
-            F.sum(F.col(fcols[i]) * F.col(fcols[j])).alias(f"g_{i}_{j}")
-            for i in range(k)
-            for j in range(i, k)
-        ]
-        row = f.agg(*aggs).collect()[0]
-        g = np.zeros((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                g[i, j] = g[j, i] = row[f"g_{i}_{j}"]
-        return g
-
-    def _solve_side(a_keyed: DataFrame, other_factor: DataFrame, gram: "np.ndarray") -> DataFrame:
-        """new = onlyPos(inv(G+εI) · (FᵀA)) — FᵀA via join+agg, inverse on driver."""
-        inv = np.linalg.inv(gram + eps * np.eye(k))
-        fta = (
-            a_keyed.join(other_factor.withColumnRenamed("id", "other"), "other")
-            .groupBy("id")
-            .agg(*[F.sum(F.col("w") * F.col(c)).alias(f"t{i}") for i, c in enumerate(fcols)])
-        )
-        # new_f[j] = max(0, Σ_i inv[j,i] · t_i) — k² term expansion, JVM-side
-        new_cols = []
-        for j in range(k):
-            expr = None
-            for i in range(k):
-                term = F.lit(float(inv[j, i])) * F.col(f"t{i}")
-                expr = term if expr is None else expr + term
-            new_cols.append(F.greatest(expr, F.lit(0.0)).alias(fcols[j]))
-        return fta.select("id", *new_cols)
-
     for _ in range(max_iter):
-        h_df = _solve_side(a_by_dst, w_df, _gram(w_df)).localCheckpoint()
-        w_df = _solve_side(a_by_src, h_df, _gram(h_df)).localCheckpoint()
+        h_df = _solve_side(a_by_dst, w_df, k, _gram(w_df, k), eps).localCheckpoint()
+        w_df = _solve_side(a_by_src, h_df, k, _gram(h_df, k), eps).localCheckpoint()
 
     return w_df, h_df
+
+
+def assign_topics(edges: DataFrame, h_df: DataFrame, k: int, *, eps: float = 1e-9) -> DataFrame:
+    """doHT_HHTinv (Graphulo.java:4302-4343): project NEW rows/documents onto
+    an existing topic factor H — one frozen-H W-update,
+    W_new = onlyPos((A_new·H) · inv(HᵀH + εI)). Returns [id, f0..f{k-1}]
+    keyed by the new rows' src ids."""
+    a_by_src = edges.select(F.col("src").alias("id"), F.col("dst").alias("other"), "w")
+    return _solve_side(a_by_src, h_df, k, _gram(h_df, k), eps)
 
 
 def reconstruction_error(edges: DataFrame, w_df: DataFrame, h_df: DataFrame, k: int) -> float:

@@ -39,7 +39,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from graphulo_spark.checkpoint import SuperstepCheckpointer
+from graphulo_spark.checkpoint import SuperstepCheckpointer, input_fingerprint
 from graphulo_spark.linalg.spmv import spmv, spmv_arrow
 
 
@@ -67,27 +67,45 @@ def pagerank(
     metrics, lineage) and ``resume=True`` continues from the latest complete
     superstep. ``history`` (optional list) collects per-superstep stats.
     """
-    params = {"alg": "pagerank", "alpha": alpha, "tol": tol, "strategy": strategy}
-    ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params) if checkpoint_dir else None
+    ckpt = None
+    if checkpoint_dir:
+        # input fingerprint in the params hash: a resume against a different
+        # edge table refuses instead of silently continuing from stale state
+        params = {
+            "alg": "pagerank",
+            "alpha": alpha,
+            "tol": tol,
+            "strategy": strategy,
+            "input_fp": input_fingerprint(edges, "src", "dst", "w"),
+        }
+        ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params)
+        ckpt.prepare(resume)
 
     vertices = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
     )
-    if ckpt:
-        import os
+    # Under the 'plain' (shuffled-hash join) strategy the edge table is the
+    # big, STATIC side of every superstep's join: hash-partition it by the
+    # gather key ONCE (same partition count the join will require) and cache —
+    # EnsureRequirements then reuses the layout and each superstep shuffles
+    # only the O(|V|) rank vector + aggregate output, never the O(|E|) edges.
+    # The Spark analog of Graphulo keeping A resident in tablet order across
+    # all TableMult scans. (broadcast never shuffles the edges; salted joins
+    # on (v, salt) — neither benefits, so only 'plain' pays the setup shuffle.)
+    def _layout(ne: DataFrame) -> DataFrame:
+        if strategy == "plain":
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            ne = ne.repartition(n_parts, "src")
+        return ne.cache()
 
-        vtx_path = f"{ckpt.run_dir}/vertices"
-        ne_path = f"{ckpt.run_dir}/norm_edges"
-        if not (resume and os.path.exists(ne_path)):
-            vertices.write.mode("overwrite").parquet(vtx_path)
-            _normalized_edges(edges).write.mode("overwrite").parquet(ne_path)
-        vertices = spark.read.parquet(vtx_path).cache()
-        norm_edges = spark.read.parquet(ne_path).cache()
+    if ckpt:
+        vertices = ckpt.side_input("vertices", vertices, resume=resume).cache()
+        norm_edges = _layout(ckpt.side_input("norm_edges", _normalized_edges(edges), resume=resume))
     else:
         vertices = vertices.cache()
-        norm_edges = _normalized_edges(edges).cache()
+        norm_edges = _layout(_normalized_edges(edges))
 
     n = vertices.count()
     if n == 0:

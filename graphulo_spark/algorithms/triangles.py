@@ -63,6 +63,16 @@ def triangle_count(edges: DataFrame, orientation: str = "degree") -> int:
     return triangle_closers(edges, orientation).count()
 
 
+def triangle_count_via_support(edges: DataFrame) -> int:
+    """triCountAdjEdge (Graphulo.java:2869-2948): the count recovered from the
+    edge-table side — every triangle contributes support to exactly 3 edges,
+    so Σ support / 3 == triangle count. A genuinely different execution path
+    from triangle_closers' wedge-close; equality is asserted in tests (the
+    reference's TriangleCountExample.java cross-check)."""
+    total = edge_support(edges).agg(F.sum("support").alias("s")).collect()[0]["s"]
+    return int(total or 0) // 3
+
+
 def edge_support(edges: DataFrame) -> DataFrame:
     """Per-edge triangle participation count (k-truss support), canonical
     (src<dst) key space. Edges in no triangle get support 0."""

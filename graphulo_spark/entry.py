@@ -32,9 +32,13 @@ from graphulo_spark.algorithms import (
     label_propagation,
     pagerank,
 )
+from graphulo_spark.algorithms.bfs import single_bfs
+from graphulo_spark.algorithms.nmf import nmf
+from graphulo_spark.algorithms.scc import scc
 from graphulo_spark.algorithms.triangles import edge_support, triangle_closers
-from graphulo_spark.algorithms.ktruss import ktruss
-from graphulo_spark.linalg.incidence import edge_bfs, to_incidence
+from graphulo_spark.algorithms.ktruss import ktruss, ktruss_edge
+from graphulo_spark.linalg.edges import canonicalize
+from graphulo_spark.linalg.incidence import edge_bfs, from_incidence, to_incidence
 from graphulo_spark.linalg import (
     bernoulli_sample,
     degrees,
@@ -48,9 +52,22 @@ from graphulo_spark.linalg import (
     table_diff,
     top_k_per_row,
 )
-from graphulo_spark.pipeline.dedup import exact_dedup, minhash_signatures, ngram_jaccard_pairs, simhash
-from graphulo_spark.pipeline.similarity import cosine_topk
-from graphulo_spark.pipeline.text import lang_id, quality_score, token_count
+from graphulo_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from graphulo_spark.pipeline.similarity import ann_candidates, bray_curtis_pairs, cosine_topk
+from graphulo_spark.pipeline.text import doc_fingerprint, lang_id, quality_score, token_count
+
+# degree low-pass for the Jaccard query: ≤ 90 keeps roughly the lower half of
+# the sf0.01 copurchase degree distribution (mean sym degree ≈ 117), so the
+# oracle returns thousands of real coefficients — the previous cutoff (20) was
+# vacuously green: 0 rows from both engines
+JACCARD_DEG_CUTOFF = 90
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -213,13 +230,14 @@ def _lp_sql(iters: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{iters}"
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_ctes(bits: int = 32) -> str:
+    """CTE chain ending in ``sig(id, simhash)`` — shared by the signature and
+    candidate-pair oracles."""
     votes = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
     )
     sig = " + ".join(f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id AS id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
   FROM documents
 ),
@@ -230,8 +248,177 @@ agg AS (
   SELECT id,
     {votes}
   FROM hashed GROUP BY id
+),
+sig AS MATERIALIZED (
+  SELECT id, CAST({sig} AS BIGINT) AS simhash FROM agg
+)"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    return f"WITH {_simhash_ctes(bits)}\nSELECT id, simhash FROM sig"
+
+
+def _ktruss_sql(k: int = 3, iters: int = 4) -> str:
+    """Bounded-unroll k-truss fixpoint (same technique as _cc_sql): each level
+    recomputes triangle support over the surviving edges and filters. The
+    Spark side iterates to the actual fixpoint; ``iters`` must be ≥ the
+    convergence depth at the driver's sf (verified empirically: 2 at sf0.01,
+    unrolled to 4 for slack — applying the filter to a fixpoint is identity)."""
+    ctes = [_mat(COPURCHASE_CTE.strip()), _mat("e0 AS (SELECT src, dst FROM copurchase)")]
+    for t in range(iters):
+        ctes.append(
+            f"""tri{t} AS MATERIALIZED (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM e{t} a JOIN e{t} b ON a.dst = b.src JOIN e{t} x ON a.src = x.src AND b.dst = x.dst)"""
+        )
+        ctes.append(
+            f"""sup{t} AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS s FROM (
+    SELECT a AS src, b AS dst FROM tri{t}
+    UNION ALL SELECT b, c FROM tri{t}
+    UNION ALL SELECT a, c FROM tri{t}) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""e{t + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{t} e JOIN sup{t} s ON e.src = s.src AND e.dst = s.dst
+  WHERE s.s >= {k - 2})"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM e{iters}"
+
+
+def _scc_sql(levels: int = 5) -> str:
+    """SCC by bounded transitive-closure squaring over the transitions graph:
+    r_{k} holds reachability over paths of length ≤ 2^k (identity included),
+    SCC id = min over mutually-reachable vertices — exactly the reference's
+    reachability semantics (SCCGraphulo.java:56-159 iterated R·A)."""
+    ctes = [
+        _mat(TRANSITIONS_CTE.strip()),
+        _mat(
+            "vv AS (SELECT DISTINCT src AS v FROM trans UNION SELECT DISTINCT dst FROM trans)"
+        ),
+        _mat("r0 AS (SELECT src, dst FROM trans UNION SELECT v AS src, v AS dst FROM vv)"),
+    ]
+    for k in range(1, levels + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT DISTINCT a.src, b.dst FROM r{k - 1} a JOIN r{k - 1} b ON a.dst = b.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.src AS v, MIN(a.dst) AS scc
+FROM r{levels} a JOIN r{levels} b ON a.dst = b.src AND b.dst = a.src
+GROUP BY a.src"""
+    )
+
+
+def _nmf_sql(iters: int = 2, eps: float = 1e-9, seed: int = 42) -> str:
+    """k=2 NMF unrolled in SQL: the 2×2 gram inverse is closed-form, the init
+    is the engine's portable md5 family, every CTE is one (FᵀA)-style
+    join+aggregate — the same update rule as algorithms.nmf (H then W per
+    iteration, onlyPos clamp). Rounded to 4 decimals (quantum ≫ the ~1e-13
+    FP divergence between LAPACK and closed-form 2×2 inversion)."""
+
+    def init_col(s: int) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST(v AS VARCHAR) || ':{s}'), 1, 15))::BIGINT"
+            f" % 1000 + 1) / 1000.0"
+        )
+
+    ctes = [
+        _mat(COPURCHASE_CTE.strip()),
+        _mat("rows_ AS (SELECT DISTINCT src AS v FROM copurchase)"),
+        _mat(
+            f"w0 AS (SELECT v AS id, {init_col(seed)} AS f0, {init_col(seed + 1)} AS f1 FROM rows_)"
+        ),
+    ]
+
+    def gram_inv(tag: str, fac: str) -> None:
+        ctes.append(
+            f"""g{tag} AS MATERIALIZED (
+  SELECT SUM(f0*f0) AS g00, SUM(f0*f1) AS g01, SUM(f1*f1) AS g11 FROM {fac})"""
+        )
+        ctes.append(
+            f"""i{tag} AS MATERIALIZED (
+  SELECT (g11 + {eps!r}) / d AS i00, -g01 / d AS i01, (g00 + {eps!r}) / d AS i11
+  FROM (SELECT g00, g01, g11,
+               (g00 + {eps!r}) * (g11 + {eps!r}) - g01 * g01 AS d FROM g{tag}))"""
+        )
+
+    def solve(tag: str, out: str, a_id: str, a_other: str, fac: str) -> None:
+        ctes.append(
+            f"""{out} AS MATERIALIZED (
+  SELECT a.{a_id} AS id,
+         GREATEST(0.0, MAX(i.i00) * SUM(a.w * f.f0) + MAX(i.i01) * SUM(a.w * f.f1)) AS f0,
+         GREATEST(0.0, MAX(i.i01) * SUM(a.w * f.f0) + MAX(i.i11) * SUM(a.w * f.f1)) AS f1
+  FROM copurchase a JOIN {fac} f ON a.{a_other} = f.id CROSS JOIN i{tag} i
+  GROUP BY a.{a_id})"""
+        )
+
+    prev_w = "w0"
+    for t in range(1, iters + 1):
+        gram_inv(f"w{t}", prev_w)
+        solve(f"w{t}", f"h{t}", "dst", "src", prev_w)
+        gram_inv(f"h{t}", f"h{t}")
+        solve(f"h{t}", f"w{t}", "src", "dst", f"h{t}")
+        prev_w = f"w{t}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(f0, 4) AS f0, ROUND(f1, 4) AS f1 FROM w{iters}"
+    )
+
+
+_KNUTH = 2654435761
+
+
+def _ann_sql(n_planes: int = 8, n_tables: int = 3) -> str:
+    """Mirror of similarity.lsh_hyperplane_buckets + ann_candidates: plane
+    components are Knuth-multiplicative integer arithmetic (engine-portable),
+    buckets are sign-bit sums, candidates from equal buckets across tables,
+    exact cosine rerank."""
+    table_sqls = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            salt = (97 * t + p) * 40503
+            dot = (
+                f"list_sum(list_transform(range(0, len(v)), d -> "
+                f"v[d + 1] * ((((d * {_KNUTH} + {salt}) % 1000) - 500) / 500.0)))"
+            )
+            terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+        bucket = " + ".join(terms)
+        table_sqls.append(
+            f"SELECT vec_id, {bucket} + {t << n_planes} AS bucket FROM emb"
+        )
+    buckets = "\nUNION ALL ".join(table_sqls)
+    return f"""
+WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+buckets AS MATERIALIZED ({buckets}),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT p.id_a, p.id_b, ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
+FROM pairs p JOIN emb x ON p.id_a = x.vec_id JOIN emb y ON p.id_b = y.vec_id"""
+
+
+def _simhash_pairs_sql(bits: int = 32, bands: int = 4, max_hamming: int = 12) -> str:
+    """Mirror of dedup.simhash_pairs: equal-bit-band buckets → pair join →
+    exact Hamming rank (bit_count over XOR, JVM/DuckDB-portable)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH {_simhash_ctes(bits)},
+bandsx AS MATERIALIZED (
+  SELECT id, simhash, u.b AS band, (simhash >> (u.b * {width})) & {mask} AS bv
+  FROM sig, UNNEST([{band_list}]) AS u(b)
 )
-SELECT id, CAST({sig} AS BIGINT) AS simhash FROM agg"""
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bandsx a JOIN bandsx b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
 SHINGLES_CTE = """
@@ -327,9 +514,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
     )
     q["adj_bfs_2hop"] = _bfs_query
+    q["adj_bfs_2hop_gated"] = _bfs_gated_query
+    q["single_bfs_2hop"] = _single_bfs_query
     q["edge_bfs_2hop"] = _edge_bfs_query
     q["line_graph"] = _line_graph_query
     q["ktruss_3"] = lambda spark, sf: ktruss(spark, copurchase_edges(spark, sf), k=3)
+    q["ktruss_edge_3"] = lambda spark, sf: from_incidence(
+        ktruss_edge(spark, to_incidence(canonicalize(copurchase_edges(spark, sf))), k=3)
+    )
+    q["triangle_count_adjedge"] = lambda spark, sf: (
+        edge_support(copurchase_edges(spark, sf))
+        .agg((F.sum("support") / 3).cast("long").alias("triangles"))
+    )
+    q["scc_transitions"] = lambda spark, sf: scc(spark, transitions_edges(spark, sf))
+    q["nmf_w_factor"] = lambda spark, sf: (
+        nmf(spark, copurchase_edges(spark, sf), k=2, max_iter=2, init="md5")[0]
+        .select("id", F.round("f0", 4).alias("f0"), F.round("f1", 4).alias("f1"))
+    )
     q["pagerank_5iter"] = lambda spark, sf: (
         pagerank(spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5)
         .select("v", F.round("rank", 8).alias("rank"))
@@ -355,7 +556,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
         spark.read.parquet(f"{sf}/documents.parquet"), k=4
     )
+    q["minhash_lsh_pairs"] = lambda spark, sf: minhash_lsh_pairs(
+        spark.read.parquet(f"{sf}/documents.parquet"), k=8, bands=4
+    )
     q["simhash"] = lambda spark, sf: simhash(spark.read.parquet(f"{sf}/documents.parquet"), bits=32)
+    q["simhash_pairs"] = lambda spark, sf: simhash_pairs(
+        spark.read.parquet(f"{sf}/documents.parquet"), bits=32, bands=4, max_hamming=12
+    )
+    q["doc_fingerprint"] = lambda spark, sf: doc_fingerprint(
+        spark.read.parquet(f"{sf}/documents.parquet")
+    )
     q["token_count"] = lambda spark, sf: token_count(spark.read.parquet(f"{sf}/documents.parquet"))
     q["text_quality"] = lambda spark, sf: quality_score(spark.read.parquet(f"{sf}/documents.parquet"))
     q["lang_id"] = lambda spark, sf: lang_id(spark.read.parquet(f"{sf}/documents.parquet"))
@@ -366,6 +576,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=5,
         )
     )
+    q["ann_candidates"] = lambda spark, sf: ann_candidates(
+        spark.read.parquet(f"{sf}/embeddings.parquet"), n_planes=8, n_tables=3
+    )
+    q["bray_curtis"] = lambda spark, sf: (
+        bray_curtis_pairs(
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+            .filter(F.pmod("vec_id", F.lit(5)) == 0)
+            # Bray-Curtis is an abundance (nonnegative) dissimilarity —
+            # fold the embeddings through |·| to stay in its domain
+            .withColumn("embedding", F.transform("embedding", lambda x: F.abs(x)))
+        ).select("id_a", "id_b", F.round("bray_curtis", 6).alias("bray_curtis"))
+    )
     return q
 
 
@@ -374,7 +596,7 @@ def _jaccard_lowpass_edges(spark: SparkSession, sf: str) -> DataFrame:
     degree-filter (≤20) the symmetrized graph, keep edges with BOTH endpoints
     surviving, then Jaccard."""
     sym = symmetrize(copurchase_edges(spark, sf)).cache()
-    deg = degrees(sym, by="src").filter(F.col("deg") <= 20).select("v")
+    deg = degrees(sym, by="src").filter(F.col("deg") <= JACCARD_DEG_CUTOFF).select("v")
     kept = (
         sym.join(deg.withColumnRenamed("v", "src"), "src", "left_semi")
         .join(deg.withColumnRenamed("v", "dst"), "dst", "left_semi")
@@ -416,6 +638,31 @@ def _bfs_query(spark: SparkSession, sf: str) -> DataFrame:
     e = copurchase_edges(spark, sf)
     seed = e.agg(F.min("src")).collect()[0][0]
     return adj_bfs(spark, e, [seed], k=2).select("v", F.col("dist").cast("int").alias("dist"))
+
+
+# just above the sf0.01 median sym degree (115): the seed (deg 123) expands,
+# a real fraction of the 1-hop frontier is gated — non-vacuous both ways
+BFS_GATE_MAX_DEG = 130
+
+
+def _bfs_gated_query(spark: SparkSession, sf: str) -> DataFrame:
+    """AdjBFS with the degree gate engaged (Graphulo ADegtable MinMaxFilter,
+    Graphulo.java:1239-1276): a frontier vertex is expanded only when its
+    degree ≤ BFS_GATE_MAX_DEG — hubs are reached but not traversed through."""
+    e = copurchase_edges(spark, sf)
+    seed = e.agg(F.min("src")).collect()[0][0]
+    return adj_bfs(spark, e, [seed], k=2, max_degree=BFS_GATE_MAX_DEG).select(
+        "v", F.col("dist").cast("int").alias("dist")
+    )
+
+
+def _single_bfs_query(spark: SparkSession, sf: str) -> DataFrame:
+    """SingleBFS path (distance-vector semiring relaxation) — same oracle as
+    adj_bfs_2hop: the two implementations must agree (Graphulo's own
+    cross-implementation equality pattern)."""
+    e = copurchase_edges(spark, sf)
+    seed = e.agg(F.min("src")).collect()[0][0]
+    return single_bfs(spark, e, [seed], k=2).select("v", F.col("dist").cast("int").alias("dist"))
 
 
 def _tfidf_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -516,7 +763,7 @@ FROM e LEFT JOIN sup ON e.src = sup.src AND e.dst = sup.dst"""
     o["jaccard_lowpass"] = f"""
 WITH {COPURCHASE_CTE.strip()}, {SYM_CTE.strip()},
 deg0 AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
-keep AS (SELECT v FROM deg0 WHERE d <= 20),
+keep AS (SELECT v FROM deg0 WHERE d <= {JACCARD_DEG_CUTOFF}),
 kept AS (
   SELECT s.src, s.dst FROM sym s
   SEMI JOIN keep k1 ON s.src = k1.v
@@ -537,6 +784,24 @@ seed AS (SELECT MIN(src) AS s FROM copurchase),
 d1 AS (SELECT DISTINCT e.dst AS v FROM sym e JOIN seed ON e.src = seed.s),
 d2 AS (
   SELECT DISTINCT e.dst AS v FROM sym e JOIN d1 ON e.src = d1.v
+  WHERE e.dst != (SELECT s FROM seed) AND e.dst NOT IN (SELECT v FROM d1)
+)
+SELECT s AS v, CAST(0 AS INT) AS dist FROM seed
+UNION ALL SELECT v, CAST(1 AS INT) FROM d1
+UNION ALL SELECT v, CAST(2 AS INT) FROM d2"""
+    o["single_bfs_2hop"] = o["adj_bfs_2hop"]
+    o["adj_bfs_2hop_gated"] = f"""
+WITH {COPURCHASE_CTE.strip()}, {SYM_CTE.strip()},
+deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+gate AS (SELECT v FROM deg WHERE d <= {BFS_GATE_MAX_DEG}),
+seed AS (SELECT MIN(src) AS s FROM copurchase),
+d1 AS (
+  SELECT DISTINCT e.dst AS v FROM sym e JOIN seed ON e.src = seed.s
+  WHERE seed.s IN (SELECT v FROM gate)
+),
+d2 AS (
+  SELECT DISTINCT e.dst AS v FROM sym e
+  JOIN (SELECT v FROM d1 WHERE v IN (SELECT v FROM gate)) f ON e.src = f.v
   WHERE e.dst != (SELECT s FROM seed) AND e.dst NOT IN (SELECT v FROM d1)
 )
 SELECT s AS v, CAST(0 AS INT) AS dist FROM seed
@@ -563,6 +828,11 @@ ends AS (
 SELECT DISTINCT a.src AS a_src, a.dst AS a_dst, b.src AS b_src, b.dst AS b_dst, a.shared_v
 FROM ends a JOIN ends b ON a.shared_v = b.shared_v
 WHERE a.src < b.src OR (a.src = b.src AND a.dst < b.dst)"""
+    o["ktruss_3"] = _ktruss_sql(k=3, iters=4)
+    o["ktruss_edge_3"] = _ktruss_sql(k=3, iters=4)
+    o["triangle_count_adjedge"] = o["triangle_count"]
+    o["scc_transitions"] = _scc_sql(levels=5)
+    o["nmf_w_factor"] = _nmf_sql(iters=2)
     o["pagerank_5iter"] = _pagerank_sql(5)
     o["connected_components"] = _cc_sql(15)
     o["label_propagation_3iter"] = _lp_sql(3)
@@ -603,7 +873,34 @@ SELECT id,
        MIN(md5('2:' || shingle)) AS sig_2,
        MIN(md5('3:' || shingle)) AS sig_3
 FROM sh GROUP BY id"""
+    o["minhash_lsh_pairs"] = f"""
+WITH {SHINGLES_CTE.strip()},
+sigs AS MATERIALIZED (
+  SELECT id,
+         MIN(md5('0:' || shingle)) AS s0, MIN(md5('1:' || shingle)) AS s1,
+         MIN(md5('2:' || shingle)) AS s2, MIN(md5('3:' || shingle)) AS s3,
+         MIN(md5('4:' || shingle)) AS s4, MIN(md5('5:' || shingle)) AS s5,
+         MIN(md5('6:' || shingle)) AS s6, MIN(md5('7:' || shingle)) AS s7
+  FROM sh GROUP BY id),
+bandsx AS MATERIALIZED (
+  SELECT id, 0 AS band, md5(s0 || '|' || s1) AS bh FROM sigs
+  UNION ALL SELECT id, 1, md5(s2 || '|' || s3) FROM sigs
+  UNION ALL SELECT id, 2, md5(s4 || '|' || s5) FROM sigs
+  UNION ALL SELECT id, 3, md5(s6 || '|' || s7) FROM sigs)
+SELECT a.id AS id_a, b.id AS id_b, COUNT(DISTINCT a.band) AS n_bands
+FROM bandsx a JOIN bandsx b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+GROUP BY 1, 2"""
     o["simhash"] = _simhash_sql(32)
+    o["simhash_pairs"] = _simhash_pairs_sql(bits=32, bands=4, max_hamming=12)
+    o["doc_fingerprint"] = """
+SELECT doc_id AS id,
+       array_to_string(
+         list_slice(
+           list_sort(list_transform(
+             range(1, greatest(len(t) - 4, 1) + 1),
+             i -> md5(array_to_string(list_slice(t, i, i + 4), ' ')))),
+           1, 4), '|') AS fingerprint
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)"""
     o["token_count"] = """
 SELECT doc_id AS id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
 FROM documents"""
@@ -622,6 +919,17 @@ scored AS (
 )
 SELECT query_id, vec_id, cosine FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5"""
+    o["ann_candidates"] = _ann_sql(n_planes=8, n_tables=3)
+    o["bray_curtis"] = """
+WITH sub AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> abs(x)) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(1 - 2 * list_sum(list_transform(range(1, len(a.v) + 1),
+                                             i -> least(a.v[i], b.v[i])))
+                 / (list_sum(a.v) + list_sum(b.v)), 6) AS bray_curtis
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id"""
     return o
 
 

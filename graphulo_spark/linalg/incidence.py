@@ -25,6 +25,13 @@ def to_incidence(edges: DataFrame) -> DataFrame:
     return out.unionByName(inn)
 
 
+def from_incidence(incidence: DataFrame) -> DataFrame:
+    """Incidence → adjacency: [src, dst] (one row per edge_id)."""
+    out = incidence.filter(F.col("end") == "out").select("edge_id", F.col("v").alias("src"))
+    inn = incidence.filter(F.col("end") == "in").select("edge_id", F.col("v").alias("dst"))
+    return out.join(inn, "edge_id").select("src", "dst")
+
+
 def edge_bfs(
     spark: SparkSession,
     incidence: DataFrame,

@@ -9,8 +9,9 @@ Scale shapes (the part that matters at 100 TB):
 - MinHash:   signature per doc (k md5-min-hashes over shingles), banded LSH:
              candidates only within equal band-hash buckets — the classic
              sublinear near-dup path.
-- SimHash:   64-bit signature via per-token md5 bit votes; Hamming-adjacent
-             buckets by band equality.
+- SimHash:   signature via per-token md5 bit votes; candidate pairs from
+             equal bit-bands (pigeonhole: Hamming < bands ⇒ ≥1 band equal),
+             ranked by exact Hamming distance — see simhash_pairs.
 
 Hash portability: min-of-md5-hex over salted shingles is a valid min-hash
 family (lexicographic min over a uniformly distributed hex string) and is
@@ -26,8 +27,11 @@ WS = r"\s+"
 
 
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Word n-gram shingles: DataFrame[id, shingle] (distinct per doc)."""
-    toks = F.split(F.col(text_col), WS)
+    """Word n-gram shingles: DataFrame[id, shingle] (distinct per doc).
+
+    Tokenizes trim()med text: split() keeps leading/trailing empty tokens,
+    which the DuckDB oracle (SHINGLES_CTE trims) never sees."""
+    toks = F.split(F.trim(F.col(text_col)), WS)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return (
@@ -85,14 +89,28 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 8, n: int = 3
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """[id, sig_0..sig_{k-1}]: sig_i = min over shingles of md5(i ':' shingle)."""
+    """[id, sig_0..sig_{k-1}]: sig_i = min over shingles of hash(i ':' shingle).
+
+    hash_family='md5' is the oracle-portable path (DuckDB reproduces it
+    bit-for-bit). 'xxhash64' is the production path: same min-hash family over
+    a 64-bit integer hash, ~5-10x less CPU per shingle than md5-over-hex —
+    use it when nothing needs to cross-check the signature bytes."""
     sh = shingles(docs, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(k)
-    ]
+    if hash_family == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}") for i in range(k)]
+    else:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+            for i in range(k)
+        ]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -104,17 +122,23 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int = 4,
     n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band (k/bands rows per
     band). Returns [id_a, id_b, n_bands] — rerank with ngram_jaccard_pairs or
-    exact compare downstream."""
+    exact compare downstream. hash_family as in minhash_signatures
+    ('xxhash64' = production, integer band keys, no md5 CPU)."""
     assert k % bands == 0
     rows = k // bands
-    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col, k=k, n=n)
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col, k=k, n=n, hash_family=hash_family)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh")))
+        if hash_family == "xxhash64":
+            bh = F.xxhash64(*parts).cast("string")
+        else:
+            bh = F.md5(F.concat_ws("|", *parts))
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
@@ -151,3 +175,46 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", 
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select("id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup candidate pairs from the SimHash signature: [id_a, id_b, hamming].
+
+    The candidate stage SimHash needs to be usable as dedup (the pigeonhole
+    band trick): split the signature into ``bands`` equal bit-bands; any pair
+    within Hamming distance < bands must agree on ≥1 whole band, so the join
+    runs only inside equal-band buckets — never all-pairs. Survivors are
+    ranked by exact Hamming distance (JVM bit_count(a XOR b)) and filtered to
+    ``max_hamming``. Same sublinear shape as minhash_lsh_pairs.
+    """
+    assert bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(docs, text_col=text_col, id_col=id_col, bits=bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select("id", "simhash", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+    x = buckets.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"), "band", "bv")
+    y = buckets.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"), "band", "bv")
+    return (
+        x.join(y, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -10,6 +10,8 @@ emit the edge DataFrame — degree tables come from linalg.degrees.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -23,15 +25,32 @@ def read_triple_files(
     deduplicate: bool = True,
 ) -> DataFrame:
     """Edge table from paired row/col files: i-th token of row_file is the
-    src of the i-th edge, i-th token of col_file its dst. Positions are
-    aligned with a window row_number (both files read whole — these are
-    bulk-load seed files, not the 100 TB path)."""
+    src of the i-th edge, i-th token of col_file its dst.
+
+    Positions are derived DETERMINISTICALLY, not from physical row order:
+    each file is read wholetext (one row per file — these are bulk-load seed
+    files, not the 100 TB path), tokens get their index from posexplode, and
+    multi-file globs are offset by a per-file prefix computed over the (tiny)
+    file list — so src/dst can never silently misalign under repartitioning.
+    """
 
     def _tokens(path: str, name: str) -> DataFrame:
-        raw = spark.read.text(path)
-        toks = raw.select(F.explode(F.split(F.trim(F.col("value")), delimiter)).alias(name))
-        toks = toks.filter(F.col(name) != "")
-        return toks.withColumn("_pos", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())))
+        raw = spark.read.text(path, wholetext=True).select(
+            F.input_file_name().alias("_file"), F.col("value")
+        )
+        sep = f"(?:{re.escape(delimiter)}|\\s)+"  # wholetext: newlines separate too
+        toks = raw.select(
+            "_file",
+            F.posexplode(F.split(F.trim(F.col("value")), sep)).alias("_i", name),
+        ).filter(F.col(name) != "")
+        # cross-file offset: tokens-per-file is a |files|-row table; prefix it
+        # with a window ordered by file name (deterministic) and add back
+        per_file = toks.groupBy("_file").agg(F.count("*").alias("_n"))
+        wf = Window.orderBy("_file").rowsBetween(Window.unboundedPreceding, -1)
+        prefix = per_file.select("_file", F.coalesce(F.sum("_n").over(wf), F.lit(0)).alias("_off"))
+        return toks.join(F.broadcast(prefix), "_file").select(
+            (F.col("_off") + F.col("_i")).alias("_pos"), name
+        )
 
     rows = _tokens(row_file, "src")
     cols = _tokens(col_file, "dst")

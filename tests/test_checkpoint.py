@@ -5,10 +5,19 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from conftest import numpy_pagerank
 from graphulo_spark.algorithms import pagerank
-from graphulo_spark.checkpoint import SuperstepCheckpointer
+from graphulo_spark.checkpoint import SuperstepCheckpointer, input_fingerprint
 from test_algorithms import _random_graph
+
+
+def _pr_params(df, **over):
+    p = {"alg": "pagerank", "alpha": 0.85, "tol": 0.0, "strategy": "auto",
+         "input_fp": input_fingerprint(df, "src", "dst", "w")}
+    p.update(over)
+    return p
 
 
 def _ranks(df):
@@ -39,7 +48,7 @@ def test_resume_ignores_incomplete_step(spark, tmp_path):
     pagerank(spark, df, tol=0.0, max_iter=3, checkpoint_dir=d)
     # corrupt the newest step: delete its manifest (simulates a mid-write kill)
     os.remove(os.path.join(d, "step=3", "_MANIFEST.json"))
-    ck = SuperstepCheckpointer(spark, d, {"alg": "pagerank", "alpha": 0.85, "tol": 0.0, "strategy": "auto"})
+    ck = SuperstepCheckpointer(spark, d, _pr_params(df))
     assert ck.latest_step() == 2
 
 
@@ -63,8 +72,55 @@ def test_resume_refuses_mismatched_params(spark, tmp_path):
     df = spark.createDataFrame(el, "src long, dst long, w double")
     d = str(tmp_path / "run")
     pagerank(spark, df, tol=0.0, max_iter=2, checkpoint_dir=d, alpha=0.85)
-    ck = SuperstepCheckpointer(spark, d, {"alg": "pagerank", "alpha": 0.5, "tol": 0.0, "strategy": "auto"})
+    ck = SuperstepCheckpointer(spark, d, _pr_params(df, alpha=0.5))
     assert ck.latest_step() is None  # different params hash → no resumable step
+    with pytest.raises(ValueError, match="refusing to resume"):
+        pagerank(spark, df, tol=0.0, max_iter=4, checkpoint_dir=d, resume=True, alpha=0.5)
+
+
+def test_resume_refuses_changed_input(spark, tmp_path):
+    """ADVICE item: a resume against a *different edge table* must refuse —
+    silently reusing norm_edges/steps from the old input would be wrong."""
+    df1 = spark.createDataFrame(_random_graph(n=20, m=50, seed=9), "src long, dst long, w double")
+    df2 = spark.createDataFrame(_random_graph(n=20, m=50, seed=10), "src long, dst long, w double")
+    d = str(tmp_path / "run")
+    pagerank(spark, df1, tol=0.0, max_iter=2, checkpoint_dir=d)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        pagerank(spark, df2, tol=0.0, max_iter=4, checkpoint_dir=d, resume=True)
+
+
+def test_fresh_run_clears_stale_steps(spark, tmp_path):
+    """ADVICE item: a non-resume run must clear higher-numbered step dirs left
+    by an earlier, longer run, so a later resume can't pick them up."""
+    df = spark.createDataFrame(_random_graph(n=20, m=50, seed=9), "src long, dst long, w double")
+    d = str(tmp_path / "run")
+    pagerank(spark, df, tol=0.0, max_iter=6, checkpoint_dir=d)
+    assert os.path.isdir(os.path.join(d, "step=6"))
+    pagerank(spark, df, tol=0.0, max_iter=2, checkpoint_dir=d)  # fresh, shorter
+    assert not os.path.exists(os.path.join(d, "step=6"))
+    ck = SuperstepCheckpointer(spark, d, _pr_params(df))
+    assert ck.latest_step() == 2
+
+
+def test_checkpointer_hadoop_scheme_path(spark, tmp_path):
+    """Checkpoint/resume through an explicit Hadoop URI (file://...): all IO
+    goes through the Hadoop FileSystem API, so an HDFS/S3 run_dir behaves the
+    same as a driver-local path."""
+    el = _random_graph(n=30, m=80, seed=21)
+    df = spark.createDataFrame(el, "src long, dst long, w double")
+    plain = _ranks(pagerank(spark, df, tol=0.0, max_iter=4, checkpoint_dir=str(tmp_path / "a")))
+    uri = "file://" + str(tmp_path / "b")
+    schemed = _ranks(pagerank(spark, df, tol=0.0, max_iter=4, checkpoint_dir=uri))
+    assert plain == schemed
+    ck = SuperstepCheckpointer(spark, uri, _pr_params(df))
+    assert ck.latest_step() == 4
+    m = ck.manifest(4)
+    assert m["step"] == 4 and m["partitioner"]["num_partitions"] >= 1
+    assert sum(p["rows"] for p in m["partition_metrics"].values()) > 0
+    # resume through the URI: 4 more supersteps, still bitwise vs one 8-step run
+    resumed = _ranks(pagerank(spark, df, tol=0.0, max_iter=8, checkpoint_dir=uri, resume=True))
+    full = _ranks(pagerank(spark, df, tol=0.0, max_iter=8, checkpoint_dir=str(tmp_path / "c")))
+    assert resumed == full
 
 
 def test_checkpointed_equals_uncheckpointed(spark, tmp_path):

@@ -50,8 +50,9 @@ ORACLES = contract.oracle_sql()
 
 
 # iterative/fixpoint ops the contract allows to ship without an oracle
-# (driver records a weaker rows-only check for these)
-ROWS_ONLY = {"ktruss_3"}
+# (driver records a weaker rows-only check for these). Empty since round 2:
+# ktruss_3 gained a bounded-unroll CTE oracle.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_flagged():

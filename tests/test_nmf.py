@@ -42,3 +42,30 @@ def test_nmf_factors_nonnegative(spark):
     for fdf in (w, h):
         pdf = fdf.toPandas()
         assert (pdf[[c for c in pdf.columns if c.startswith("f")]].to_numpy() >= 0).all()
+
+
+def test_assign_topics_matches_numpy(spark):
+    """doHT_HHTinv (Graphulo.java:4302-4343): projecting rows onto a frozen H
+    equals the numpy closed form W_new = onlyPos((A·H) inv(HᵀH + εI))."""
+    import numpy as np
+
+    from graphulo_spark.algorithms.nmf import assign_topics, nmf
+
+    rng = np.random.RandomState(7)
+    n, m, k = 30, 20, 3
+    a = (rng.rand(n, m) < 0.3) * rng.randint(1, 5, (n, m)).astype(float)
+    el = [(i, j, float(a[i, j])) for i in range(n) for j in range(m) if a[i, j] != 0]
+    df = spark.createDataFrame(el, "src long, dst long, w double")
+    _, h_df = nmf(spark, df, k=k, max_iter=3)
+
+    hrows = {r["id"]: [r[f"f{i}"] for i in range(k)] for r in h_df.collect()}
+    hm = np.zeros((m, k))
+    for j, vec in hrows.items():
+        hm[j] = vec
+    inv = np.linalg.inv(hm.T @ hm + 1e-9 * np.eye(k))
+    want = np.maximum(0.0, (a @ hm) @ inv)  # inv symmetric: (A·H)·inv == row-wise inv·(HᵀA)
+
+    got = {r["id"]: [r[f"f{i}"] for i in range(k)] for r in assign_topics(df, h_df, k).collect()}
+    for i in range(n):
+        if i in got:
+            assert np.allclose(got[i], want[i], atol=1e-9), i

@@ -166,3 +166,24 @@ def test_bray_curtis(spark):
     got = {(r["id_a"], r["id_b"]): r["bray_curtis"] for r in bray_curtis_pairs(v).collect()}
     assert abs(got[(1, 2)]) < 1e-12                      # identical -> 0
     assert abs(got[(1, 3)] - (1 - 2 * 1.0 / 9.0)) < 1e-12  # min-overlap 1, totals 6+3
+
+
+def test_simhash_pairs_candidates(spark, dupdocs):
+    """Identical docs must surface at Hamming 0 through the band join; the
+    unrelated doc must not pair with them at a small threshold."""
+    from graphulo_spark.pipeline.dedup import simhash_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(dupdocs, bits=32, bands=4, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0            # exact dup: Hamming 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10  # near dup: small distance
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_xxhash_production_path(dupdocs):
+    """The xxhash64 signature family (production path, no md5 CPU) finds the
+    same dups: identical docs share every band, near-dups share >= 1."""
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands"] for r in
+             minhash_lsh_pairs(dupdocs, k=8, bands=4, hash_family="xxhash64").collect()}
+    assert pairs.get((1, 2)) == 4
+    assert pairs.get((1, 3), 0) >= 1

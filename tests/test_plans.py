@@ -73,3 +73,24 @@ def test_spmv_auto_picks_by_vector_size(spark):
     assert "BroadcastHashJoin" in small
     big = _plan(spmv(e, v, strategy="auto", vec_count=10_000_000))
     assert "_salt" in big  # hub-salting path engaged above the threshold
+
+
+def test_spmv_auto_unknown_size_is_shuffle_safe(spark):
+    """auto + unknown vector size must pick the plain SHJ (safe at any |V|),
+    never guess-broadcast (VERDICT r01 'What's wrong' #7)."""
+    e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    v = spark.range(10).selectExpr("id AS v", "CAST(1.0 AS DOUBLE) AS x")
+    p = _plan(spmv(e, v, strategy="auto"))
+    assert "ShuffledHashJoin" in p and "BroadcastHashJoin" not in p
+
+
+def test_generator_offset_has_no_global_single_partition_window(spark):
+    """The transcript generator's cumulative-offset must not funnel all
+    conversation rows through one task: the only single-partition exchange
+    allowed is over the |partitions|-row totals table."""
+    from graphulo_spark.transcripts import generate_transcripts
+
+    p = _plan(generate_transcripts(spark, 1000, num_partitions=8))
+    # the per-conversation window is partitioned by _pid, so the plan must
+    # contain a hashpartitioning exchange on _pid for the big side
+    assert "hashpartitioning(_pid" in p
