@@ -60,6 +60,7 @@ def pagerank(
     resume: bool = False,
     strategy: str = "auto",
     history: list[dict[str, Any]] | None = None,
+    watch: "Any | None" = None,
 ) -> DataFrame:
     """Returns DataFrame[v: long, rank: double]; Σ rank = 1.
 
@@ -212,18 +213,29 @@ def pagerank(
                 ).alias("x"),
             )
 
-        new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
+        if watch is not None:
+            # Watch span parity (skvi/Watch.java): the state materialization
+            # is the one action per superstep — timing it times the superstep
+            with watch.span("superstep"):
+                new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
+            watch.increment("supersteps")
+        else:
+            new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
 
         # fixed-iteration mode (tol<=0): skip the convergence job entirely —
         # one fewer action + vertex-join per superstep
         delta = None
         if tol > 0.0:
-            delta = (
+            delta_df = (
                 new_ranks.withColumnRenamed("x", "_xn")
                 .join(ranks.withColumnRenamed("x", "_xo"), "v", "full")
                 .agg(F.sum(F.abs(F.coalesce("_xn", F.lit(0.0)) - F.coalesce("_xo", F.lit(0.0)))))
-                .collect()[0][0]
             )
+            if watch is not None:
+                with watch.span("delta"):
+                    delta = delta_df.collect()[0][0]
+            else:
+                delta = delta_df.collect()[0][0]
         if history is not None:
             history.append({"step": step, "delta": delta})
         if use_arrow:

@@ -94,3 +94,28 @@ def test_generator_offset_has_no_global_single_partition_window(spark):
     # the per-conversation window is partitioned by _pid, so the plan must
     # contain a hashpartitioning exchange on _pid for the big side
     assert "hashpartitioning(_pid" in p
+
+
+def test_spmv_plain_reuses_prepartitioned_edges(spark):
+    """Edges pre-partitioned by the gather key and cached must feed the SHJ
+    with NO further exchange — supersteps shuffle only the O(|V|) vector and
+    the aggregate output, never the O(|E|) edge table (the pagerank/cc/lp
+    static-side layout contract)."""
+    e = spark.range(100_000).selectExpr(
+        "id % 997 AS src", "(id * 7) % 997 AS dst", "CAST(1.0 AS DOUBLE) AS w"
+    )
+    ep = e.repartition(8, "src").cache()
+    ep.count()
+    try:
+        v = spark.range(997).selectExpr("id AS v", "CAST(1.0 AS DOUBLE) AS x")
+        p = _plan(spmv(ep, v, strategy="plain"))
+        assert "ShuffledHashJoin" in p
+        # the only src-exchange allowed is the one-time REPARTITION inside the
+        # cached relation; the join itself must not ENSURE_REQUIREMENTS on src
+        offending = [
+            ln for ln in p.splitlines()
+            if "hashpartitioning(src" in ln and "ENSURE_REQUIREMENTS" in ln
+        ]
+        assert offending == [], offending
+    finally:
+        ep.unpersist()
