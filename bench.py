@@ -149,14 +149,18 @@ def pagerank_job(cpus: str, sf_dir: str, iters: int = 10) -> dict:
     from graphulo_spark.transcripts import generate_transcripts, induce_edges
 
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "3000000"))
+    # 'resident' (engine default: edges cached in join layout, O(|V|) shuffle
+    # per superstep) vs 'shuffle' (re-shuffle edges each superstep). On shared-
+    # memory-bus boxes the two bottleneck differently — see BENCH/BASELINE.md §3.
+    layout = os.environ.get("SPARK_GRAFT_EDGE_LAYOUT", "resident")
     spark = get_spark(app=f"graphulo-scaling-{cpus}", cores=cpus)
     t = generate_transcripts(spark, n_convs)
     edges = symmetrize(induce_edges(t)).localCheckpoint()
     n_edges = edges.count()
     # warm-up superstep (JIT/codegen), then measured run
-    pagerank(spark, edges, tol=0.0, max_iter=1, strategy="plain").count()
+    pagerank(spark, edges, tol=0.0, max_iter=1, strategy="plain", edge_layout=layout).count()
     t0 = time.time()
-    pagerank(spark, edges, tol=0.0, max_iter=iters, strategy="plain").count()
+    pagerank(spark, edges, tol=0.0, max_iter=iters, strategy="plain", edge_layout=layout).count()
     wall = time.time() - t0
     spark.stop()
     return {
@@ -164,6 +168,7 @@ def pagerank_job(cpus: str, sf_dir: str, iters: int = 10) -> dict:
         "n_convs": n_convs,
         "n_edges": n_edges,
         "iters": iters,
+        "edge_layout": layout,
         "wall_s": round(wall, 3),
         "throughput_edges_per_s": round(iters * n_edges / wall, 1),
     }
@@ -223,6 +228,28 @@ def ceiling_job(cpus: str, kind: str) -> dict:
     from graphulo_spark.session import get_spark
 
     spark = get_spark(app=f"ceiling-{kind}-{cpus}", cores=cpus)
+
+    if kind == "cachedscan":
+        # memory-bandwidth probe: repeatedly aggregate a cached columnar table
+        # (the resident-edge-layout superstep's dominant access pattern —
+        # zero shuffle, minimal CPU per byte)
+        n = 150_000_000
+        cached = spark.range(0, n, 1, int(cpus) * 4).select(
+            (F.col("id") % 997).alias("src"),
+            ((F.col("id") * 7) % 997).alias("dst"),
+            (F.col("id") % 97).cast("double").alias("w"),
+        ).cache()
+        cached.count()
+        def scan(salt):
+            return cached.agg(F.sum(F.col("w") * ((F.col("src") + salt) % 13))).collect()
+        scan(5)  # warm
+        t0 = time.time()
+        for s in (7, 11, 13):
+            scan(s)
+        wall = time.time() - t0
+        spark.stop()
+        return {"cpus": cpus, "kind": kind, "wall_s": round(wall, 3), "rows_per_s": round(3 * n / wall, 1)}
+
     def make(salt: int):
         # distinct constant per run: Spark 4 can reuse results of an
         # identical repeated query, so warm and timed plans must differ
@@ -253,8 +280,9 @@ def ceiling_job(cpus: str, kind: str) -> dict:
 
 def run_ceiling(n: int | None = None) -> dict:
     n = n or int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+    kinds = os.environ.get("SPARK_GRAFT_CEILING_KINDS", "codegen,shuffle,cachedscan").split(",")
     out = {}
-    for kind in ("codegen", "shuffle"):
+    for kind in kinds:
         lo = _ceiling_child(str(n), kind)
         hi = _ceiling_child(str(4 * n), kind)
         out[kind] = {

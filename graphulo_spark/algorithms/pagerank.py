@@ -59,6 +59,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     strategy: str = "auto",
+    edge_layout: str = "resident",
     history: list[dict[str, Any]] | None = None,
     watch: "Any | None" = None,
 ) -> DataFrame:
@@ -87,16 +88,22 @@ def pagerank(
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
     )
-    # Under the 'plain' (shuffled-hash join) strategy the edge table is the
-    # big, STATIC side of every superstep's join: hash-partition it by the
-    # gather key ONCE (same partition count the join will require) and cache —
-    # EnsureRequirements then reuses the layout and each superstep shuffles
-    # only the O(|V|) rank vector + aggregate output, never the O(|E|) edges.
-    # The Spark analog of Graphulo keeping A resident in tablet order across
-    # all TableMult scans. (broadcast never shuffles the edges; salted joins
-    # on (v, salt) — neither benefits, so only 'plain' pays the setup shuffle.)
+    # edge_layout='resident' (default): under the 'plain' (shuffled-hash join)
+    # strategy the edge table is the big, STATIC side of every superstep's
+    # join — hash-partition it by the gather key ONCE (same partition count
+    # the join will require) and cache. EnsureRequirements then reuses the
+    # layout and each superstep shuffles only the O(|V|) rank vector +
+    # aggregate output, never the O(|E|) edges. The Spark analog of Graphulo
+    # keeping A resident in tablet order across all TableMult scans; on a real
+    # cluster this is strictly less network per superstep. (broadcast never
+    # shuffles the edges; salted joins on (v, salt) — neither benefits, so
+    # only 'plain' pays the setup shuffle.)
+    # edge_layout='shuffle': re-shuffle the edges each superstep (the r1
+    # plan). More CPU-per-byte (serialization), less raw memory-bandwidth
+    # pressure — kept selectable because shared-bus boxes (like this sandbox)
+    # bottleneck the two layouts differently; see BENCH/BASELINE.md §3.
     def _layout(ne: DataFrame) -> DataFrame:
-        if strategy == "plain":
+        if strategy == "plain" and edge_layout == "resident":
             n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             ne = ne.repartition(n_parts, "src")
         return ne.cache()
