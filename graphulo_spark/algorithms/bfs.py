@@ -15,6 +15,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphulo_spark.materialize import materialize
 from graphulo_spark.linalg.edges import degrees, symmetrize
 
 
@@ -62,10 +63,10 @@ def adj_bfs(
             .select(F.col("dst").alias("v"))
             .distinct()
         )
-        new_frontier = reached.join(visited, "v", "left_anti").localCheckpoint()
+        new_frontier = reached.join(visited, "v", "left_anti").transform(materialize)
         if new_frontier.count() == 0:
             break
-        visited = visited.unionByName(new_frontier.select("v", F.lit(step).alias("dist"))).localCheckpoint()
+        visited = visited.unionByName(new_frontier.select("v", F.lit(step).alias("dist"))).transform(materialize)
         frontier = new_frontier
 
     return visited
@@ -97,7 +98,7 @@ def single_bfs(
         dist = seeds.select(F.col(seeds.columns[0]).cast("long").alias("v")).distinct()
     else:
         dist = spark.createDataFrame([(int(s),) for s in seeds], "v long")
-    dist = dist.select("v", F.lit(0).alias("dist")).localCheckpoint()
+    dist = dist.select("v", F.lit(0).alias("dist")).transform(materialize)
 
     for _step in range(1, k + 1):
         relaxed = (
@@ -113,7 +114,7 @@ def single_bfs(
                     F.coalesce("dist", F.lit(1 << 30)), F.coalesce("_nd", F.lit(1 << 30))
                 ).alias("dist"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
 
     return dist

@@ -25,9 +25,12 @@ on a path-shaped component at web scale. Each round is 3 bounded shuffles
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphulo_spark.materialize import materialize
 from graphulo_spark.checkpoint import SuperstepCheckpointer, input_fingerprint
 from graphulo_spark.linalg.edges import symmetrize
 
@@ -41,6 +44,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     history: list | None = None,
+    watch: Any | None = None,
 ) -> DataFrame:
     """Returns DataFrame[v: long, component: long] (component = min id).
 
@@ -76,7 +80,7 @@ def connected_components(
         if ckpt:
             labels = ckpt.save(0, labels)
         else:
-            labels = labels.localCheckpoint()
+            labels = labels.transform(materialize)
 
     for step in range(start_step + 1, max_iter + 1):
         nbr_min = (
@@ -97,16 +101,24 @@ def connected_components(
                 new_labels.join(lut, new_labels["label"] == lut["_pv"], "left")
                 .select("v", F.coalesce("_pl", "label").alias("label"))
             )
-        if ckpt:
+        if watch is not None:
+            with watch.span("superstep"):
+                new_labels = ckpt.save(step, new_labels) if ckpt else new_labels.transform(materialize)
+            watch.increment("supersteps")
+        elif ckpt:
             new_labels = ckpt.save(step, new_labels)
         else:
-            new_labels = new_labels.localCheckpoint()
-        changed = (
+            new_labels = new_labels.transform(materialize)
+        changed_df = (
             new_labels.withColumnRenamed("label", "_ln")
             .join(labels.withColumnRenamed("label", "_lo"), "v")
             .filter(F.col("_ln") != F.col("_lo"))
-            .count()
         )
+        if watch is not None:
+            with watch.span("convergence_test"):
+                changed = changed_df.count()
+        else:
+            changed = changed_df.count()
         if history is not None:
             history.append({"step": step, "changed": changed})
         labels = new_labels

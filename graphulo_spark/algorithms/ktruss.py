@@ -12,9 +12,12 @@ nnz=10 (5 undirected edges), 4-truss after adding v2-v4 has nnz=12.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphulo_spark.materialize import materialize
 from graphulo_spark.algorithms.triangles import edge_support
 from graphulo_spark.checkpoint import SuperstepCheckpointer
 from graphulo_spark.linalg.edges import canonicalize
@@ -27,6 +30,7 @@ def ktruss(
     *,
     max_iter: int = 100,
     checkpoint_dir: str | None = None,
+    watch: Any | None = None,
 ) -> DataFrame:
     """Canonical (src<dst) edges of the k-truss: every surviving edge is in
     ≥ k−2 triangles of the surviving subgraph. Fixpoint on edge count."""
@@ -34,7 +38,7 @@ def ktruss(
     ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params) if checkpoint_dir else None
 
     cur = canonicalize(edges).select("src", "dst")
-    cur = ckpt.save(0, cur) if ckpt else cur.localCheckpoint()
+    cur = ckpt.save(0, cur) if ckpt else cur.transform(materialize)
     n = cur.count()
 
     for step in range(1, max_iter + 1):
@@ -43,8 +47,17 @@ def ktruss(
             .filter(F.col("support") >= k - 2)
             .select("src", "dst")
         )
-        kept = ckpt.save(step, kept) if ckpt else kept.localCheckpoint()
-        m = kept.count()
+        if watch is not None:
+            with watch.span("support_filter"):
+                kept = ckpt.save(step, kept) if ckpt else kept.transform(materialize)
+            watch.increment("iterations")
+        else:
+            kept = ckpt.save(step, kept) if ckpt else kept.transform(materialize)
+        if watch is not None:
+            with watch.span("fixpoint_test"):
+                m = kept.count()
+        else:
+            m = kept.count()
         cur = kept
         if m == n:
             break
@@ -70,7 +83,7 @@ def ktruss_edge(
     reference's own cross-implementation check (TriangleCountExample.java
     pattern, AlgorithmTest.java:236-409).
     """
-    cur = incidence.select("edge_id", "end", "v").localCheckpoint()
+    cur = incidence.select("edge_id", "end", "v").transform(materialize)
     n = cur.select("edge_id").distinct().count()
 
     for _ in range(1, max_iter + 1):
@@ -91,7 +104,7 @@ def ktruss_edge(
             .select("src", "dst")
         )
         keep_ids = ends.join(sup_ok, ["src", "dst"], "left_semi").select("edge_id")
-        kept = cur.join(keep_ids, "edge_id", "left_semi").localCheckpoint()
+        kept = cur.join(keep_ids, "edge_id", "left_semi").transform(materialize)
         m = kept.select("edge_id").distinct().count()
         cur = kept
         if m == n:

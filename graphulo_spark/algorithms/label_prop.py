@@ -15,9 +15,12 @@ iteration count (LPA can oscillate on bipartite structures); labels are LONG.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graphulo_spark.materialize import materialize
 from graphulo_spark.checkpoint import SuperstepCheckpointer, input_fingerprint
 from graphulo_spark.linalg.edges import symmetrize
 
@@ -29,6 +32,7 @@ def label_propagation(
     iters: int = 5,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    watch: Any | None = None,
 ) -> DataFrame:
     """Returns DataFrame[v: long, label: long] after ``iters`` supersteps."""
     ckpt = None
@@ -64,7 +68,7 @@ def label_propagation(
         if ckpt:
             labels = ckpt.save(0, labels)
         else:
-            labels = labels.localCheckpoint()
+            labels = labels.transform(materialize)
 
     for step in range(start_step + 1, iters + 1):
         votes = (
@@ -83,10 +87,14 @@ def label_propagation(
             .join(labels.withColumnRenamed("label", "_old"), "v", "left")
             .select("v", F.coalesce("label", "_old").alias("label"))
         )
-        if ckpt:
+        if watch is not None:
+            with watch.span("superstep"):
+                new_labels = ckpt.save(step, new_labels) if ckpt else new_labels.transform(materialize)
+            watch.increment("supersteps")
+        elif ckpt:
             new_labels = ckpt.save(step, new_labels)
         else:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = new_labels.transform(materialize)
         labels = new_labels
 
     return labels

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphulo_spark.materialize import materialize
+
 
 def _factor_cols(k: int) -> list[str]:
     return [f"f{i}" for i in range(k)]
@@ -104,15 +106,15 @@ def nmf(
     Alternating nonneg least squares, exactly the reference's update rule."""
     rows = edges.select(F.col("src").alias("id")).distinct()
     cols_ = edges.select(F.col("dst").alias("id")).distinct()
-    w_df = _init_factor(rows, "id", k, seed, init).localCheckpoint()
-    h_df = _init_factor(cols_, "id", k, seed + 1000, init).localCheckpoint()
+    w_df = _init_factor(rows, "id", k, seed, init).transform(materialize)
+    h_df = _init_factor(cols_, "id", k, seed + 1000, init).transform(materialize)
 
     a_by_src = edges.select(F.col("src").alias("id"), F.col("dst").alias("other"), "w").cache()
     a_by_dst = edges.select(F.col("dst").alias("id"), F.col("src").alias("other"), "w").cache()
 
     for _ in range(max_iter):
-        h_df = _solve_side(a_by_dst, w_df, k, _gram(w_df, k), eps).localCheckpoint()
-        w_df = _solve_side(a_by_src, h_df, k, _gram(h_df, k), eps).localCheckpoint()
+        h_df = _solve_side(a_by_dst, w_df, k, _gram(w_df, k), eps).transform(materialize)
+        w_df = _solve_side(a_by_src, h_df, k, _gram(h_df, k), eps).transform(materialize)
 
     return w_df, h_df
 

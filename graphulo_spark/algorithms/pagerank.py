@@ -39,6 +39,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graphulo_spark.materialize import materialize
 from graphulo_spark.checkpoint import SuperstepCheckpointer, input_fingerprint
 from graphulo_spark.linalg.spmv import spmv, spmv_arrow
 
@@ -128,7 +129,7 @@ def pagerank(
             ranks = ckpt.load(latest)
     if ranks is None:
         ranks = vertices.select("v", F.lit(1.0 / n).alias("x"))
-        ranks = ckpt.save(0, ranks) if ckpt else ranks.localCheckpoint()
+        ranks = ckpt.save(0, ranks) if ckpt else ranks.transform(materialize)
 
     use_arrow = strategy == "arrow"
     if use_arrow:
@@ -224,10 +225,10 @@ def pagerank(
             # Watch span parity (skvi/Watch.java): the state materialization
             # is the one action per superstep — timing it times the superstep
             with watch.span("superstep"):
-                new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
+                new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.transform(materialize)
             watch.increment("supersteps")
         else:
-            new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.localCheckpoint()
+            new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.transform(materialize)
 
         # fixed-iteration mode (tol<=0): skip the convergence job entirely —
         # one fewer action + vertex-join per superstep

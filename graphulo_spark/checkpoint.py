@@ -159,10 +159,27 @@ class SuperstepCheckpointer:
                         f"params/input hash {prev.get('params_hash')}, this run "
                         f"has {self.params_hash} (input or parameters changed)"
                     )
+                return
+            # No _RUN.json: either a genuinely fresh dir (the natural
+            # "resume if possible" first call — stamp it so the fingerprint
+            # guard is live from step 0), or state left by something that
+            # never validated — refusing beats side_input() silently reusing
+            # parquet derived from an unknown input.
+            leftovers = [d for d in self.fs.listdir(self.run_dir) if not d.startswith("_")]
+            if leftovers:
+                raise ValueError(
+                    f"refusing to resume {self.run_dir}: no {RUN_MANIFEST} but "
+                    f"state already present ({sorted(leftovers)[:4]}...) — its input "
+                    f"cannot be validated. Start fresh (resume=False) to rebuild."
+                )
+            self._stamp(run_m)
             return
         for d in self.fs.listdir(self.run_dir):
-            if d.startswith("step="):
+            if not d.startswith("_"):  # step=K dirs AND side-input tables
                 self.fs.delete(f"{self.run_dir}/{d}")
+        self._stamp(run_m)
+
+    def _stamp(self, run_m: str) -> None:
         self.fs.write_text(
             run_m,
             json.dumps(

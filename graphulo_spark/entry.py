@@ -535,6 +535,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pagerank(spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5)
         .select("v", F.round("rank", 8).alias("rank"))
     )
+    # At-scale-plan parity: the same oracle checks every execution strategy —
+    # the reference's own five-kTruss-implementations-agree discipline
+    # (AlgorithmTest.java:84-228) applied to physical plans. 'auto' above
+    # resolves to broadcast at this |V|; these three rows prove the plans the
+    # engine would actually run at 10^9 vertices (plain SHJ with the resident
+    # edge layout, hub-salted join, Arrow CSR gather-scatter) produce
+    # identical hashes.
+    q["pagerank_5iter_plain"] = lambda spark, sf: (
+        pagerank(
+            spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5,
+            strategy="plain", edge_layout="resident",
+        ).select("v", F.round("rank", 8).alias("rank"))
+    )
+    q["pagerank_5iter_salted"] = lambda spark, sf: (
+        pagerank(
+            spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5,
+            strategy="salted",
+        ).select("v", F.round("rank", 8).alias("rank"))
+    )
+    q["pagerank_5iter_arrow"] = lambda spark, sf: (
+        pagerank(
+            spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5,
+            strategy="arrow",
+        ).select("v", F.round("rank", 8).alias("rank"))
+    )
     q["connected_components"] = lambda spark, sf: connected_components(
         spark, copurchase_edges(spark, sf)
     )
@@ -593,8 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _jaccard_lowpass_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Graphulo JaccardExample's low-pass pattern (examples/JaccardExample.java):
-    degree-filter (≤20) the symmetrized graph, keep edges with BOTH endpoints
-    surviving, then Jaccard."""
+    degree-filter (≤JACCARD_DEG_CUTOFF) the symmetrized graph, keep edges with
+    BOTH endpoints surviving, then Jaccard."""
     sym = symmetrize(copurchase_edges(spark, sf)).cache()
     deg = degrees(sym, by="src").filter(F.col("deg") <= JACCARD_DEG_CUTOFF).select("v")
     kept = (
@@ -834,6 +859,10 @@ WHERE a.src < b.src OR (a.src = b.src AND a.dst < b.dst)"""
     o["scc_transitions"] = _scc_sql(levels=5)
     o["nmf_w_factor"] = _nmf_sql(iters=2)
     o["pagerank_5iter"] = _pagerank_sql(5)
+    # strategy-independent oracle: all four physical plans must hash-match it
+    o["pagerank_5iter_plain"] = _pagerank_sql(5)
+    o["pagerank_5iter_salted"] = _pagerank_sql(5)
+    o["pagerank_5iter_arrow"] = _pagerank_sql(5)
     o["connected_components"] = _cc_sql(15)
     o["label_propagation_3iter"] = _lp_sql(3)
     o["count_entries_rows"] = f"""

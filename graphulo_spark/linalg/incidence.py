@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphulo_spark.materialize import materialize
+
 
 def to_incidence(edges: DataFrame) -> DataFrame:
     """Adjacency → incidence: [edge_id, end, v]. edge_id is deterministic
@@ -52,8 +54,8 @@ def edge_bfs(
     else:
         frontier = spark.createDataFrame([(int(s),) for s in seeds], "v long")
 
-    visited = frontier.select("v", F.lit(0).alias("dist")).localCheckpoint()
-    frontier = frontier.localCheckpoint()
+    visited = frontier.select("v", F.lit(0).alias("dist")).transform(materialize)
+    frontier = frontier.transform(materialize)
     for step in range(1, k + 1):
         reached = (
             starts.join(frontier.withColumnRenamed("v", "sv"), "sv")
@@ -61,27 +63,56 @@ def edge_bfs(
             .select(F.col("ev").alias("v"))
             .distinct()
         )
-        new_frontier = reached.join(visited, "v", "left_anti").localCheckpoint()
+        new_frontier = reached.join(visited, "v", "left_anti").transform(materialize)
         if new_frontier.count() == 0:
             break
         visited = visited.unionByName(
             new_frontier.select("v", F.lit(step).alias("dist"))
-        ).localCheckpoint()
+        ).transform(materialize)
         frontier = new_frontier
     return visited
 
 
-def line_graph(edges: DataFrame, directed: bool = False) -> DataFrame:
+def line_graph(
+    edges: DataFrame, directed: bool = False, max_degree: int | None = None
+) -> DataFrame:
     """L(A): one row per pair of A-edges sharing an endpoint —
     [e1, e2, shared_v]. directed=True connects only head(e1)→tail(e2)
-    (LineRowMultiply's isDirected flag)."""
+    (LineRowMultiply's isDirected flag).
+
+    Hub blow-up guard: a degree-d endpoint emits C(d,2) pairs — that is the
+    line graph's *definition*, not a plan defect, but one 10^6-degree hub
+    means 5·10^11 output rows from a single shared_v key (one straggler
+    partition AND an output nobody wants). ``max_degree`` (default off =
+    exact semantics) drops shared endpoints above the cap before the
+    self-join — the same stop-key discipline as ngram_jaccard_pairs'
+    max_shingle_freq (pipeline/dedup.py)."""
     e = edges.withColumn("eid", F.xxhash64("src", "dst")).select("eid", "src", "dst").cache()
     if directed:
         a = e.select(F.col("eid").alias("e1"), F.col("dst").alias("shared_v"))
         b = e.select(F.col("eid").alias("e2"), F.col("src").alias("shared_v"))
+        if max_degree is not None:
+            ok = (
+                a.groupBy("shared_v").agg(F.count("*").alias("_d"))
+                .join(b.groupBy("shared_v").agg(F.count("*").alias("_d2")), "shared_v", "full")
+                .filter(
+                    (F.coalesce("_d", F.lit(0)) + F.coalesce("_d2", F.lit(0))) <= max_degree
+                )
+                .select("shared_v")
+            )
+            a = a.join(ok, "shared_v", "left_semi")
+            b = b.join(ok, "shared_v", "left_semi")
         pairs = a.join(b, "shared_v").filter(F.col("e1") != F.col("e2"))
     else:
         ends = e.select("eid", F.explode(F.array("src", "dst")).alias("shared_v"))
+        if max_degree is not None:
+            ok = (
+                ends.groupBy("shared_v")
+                .agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") <= max_degree)
+                .select("shared_v")
+            )
+            ends = ends.join(ok, "shared_v", "left_semi")
         x = ends.withColumnRenamed("eid", "e1")
         y = ends.withColumnRenamed("eid", "e2")
         pairs = x.join(y, "shared_v").filter(F.col("e1") < F.col("e2"))

@@ -194,6 +194,13 @@ def simhash_pairs(
     runs only inside equal-band buckets — never all-pairs. Survivors are
     ranked by exact Hamming distance (JVM bit_count(a XOR b)) and filtered to
     ``max_hamming``. Same sublinear shape as minhash_lsh_pairs.
+
+    RECALL CONTRACT: completeness is guaranteed only for pairs with
+    hamming < ``bands`` (pigeonhole). Pairs with hamming in
+    [bands, max_hamming] are returned *when they happen to share a band* —
+    useful extra candidates, not an exhaustive listing. For guaranteed recall
+    up to distance d, call with bands = d + 1 (band width shrinks, buckets
+    coarsen, candidate volume grows — the standard Hamming-LSH trade).
     """
     assert bits % bands == 0
     width = bits // bands

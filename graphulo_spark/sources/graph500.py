@@ -41,8 +41,14 @@ def read_triple_files(
         sep = f"(?:{re.escape(delimiter)}|\\s)+"  # wholetext: newlines separate too
         toks = raw.select(
             "_file",
-            F.posexplode(F.split(F.trim(F.col("value")), sep)).alias("_i", name),
+            F.posexplode(F.split(F.trim(F.col("value")), sep)).alias("_raw_i", name),
         ).filter(F.col(name) != "")
+        # index AFTER the empty-token filter (a file starting with the
+        # delimiter would otherwise shift every surviving token by one while
+        # _n counts only survivors — src/dst misalign). _raw_i keeps the
+        # within-file order deterministic; row_number renumbers the survivors.
+        wi = Window.partitionBy("_file").orderBy("_raw_i")
+        toks = toks.select("_file", (F.row_number().over(wi) - 1).alias("_i"), name)
         # cross-file offset: tokens-per-file is a |files|-row table; prefix it
         # with a window ordered by file name (deterministic) and add back
         per_file = toks.groupBy("_file").agg(F.count("*").alias("_n"))

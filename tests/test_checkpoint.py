@@ -102,6 +102,33 @@ def test_fresh_run_clears_stale_steps(spark, tmp_path):
     assert ck.latest_step() == 2
 
 
+def test_resume_on_fresh_dir_stamps_run_manifest(spark, tmp_path):
+    """ADVICE r2 (medium): the natural 'resume if possible' pattern — always
+    passing resume=True — previously never wrote _RUN.json on the first run,
+    leaving the input-fingerprint guard permanently inert for that dir. Now
+    the first resume=True call against an empty dir stamps the manifest, so
+    a later resume with a DIFFERENT edge table refuses instead of silently
+    reusing the old input's side tables."""
+    df1 = spark.createDataFrame(_random_graph(n=20, m=50, seed=9), "src long, dst long, w double")
+    df2 = spark.createDataFrame(_random_graph(n=20, m=50, seed=10), "src long, dst long, w double")
+    d = str(tmp_path / "run")
+    pagerank(spark, df1, tol=0.0, max_iter=2, checkpoint_dir=d, resume=True)  # first run AS resume
+    assert os.path.exists(os.path.join(d, "_RUN.json"))
+    with pytest.raises(ValueError, match="refusing to resume"):
+        pagerank(spark, df2, tol=0.0, max_iter=4, checkpoint_dir=d, resume=True)
+
+
+def test_resume_refuses_unvalidatable_state(spark, tmp_path):
+    """resume=True against a dir that has state but no _RUN.json must refuse:
+    the state's input provenance cannot be validated."""
+    df = spark.createDataFrame(_random_graph(n=20, m=50, seed=9), "src long, dst long, w double")
+    d = str(tmp_path / "run")
+    pagerank(spark, df, tol=0.0, max_iter=2, checkpoint_dir=d)
+    os.remove(os.path.join(d, "_RUN.json"))  # simulate pre-manifest-era state
+    with pytest.raises(ValueError, match="cannot be validated"):
+        pagerank(spark, df, tol=0.0, max_iter=4, checkpoint_dir=d, resume=True)
+
+
 def test_checkpointer_hadoop_scheme_path(spark, tmp_path):
     """Checkpoint/resume through an explicit Hadoop URI (file://...): all IO
     goes through the Hadoop FileSystem API, so an HDFS/S3 run_dir behaves the

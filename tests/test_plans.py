@@ -119,3 +119,39 @@ def test_spmv_plain_reuses_prepartitioned_edges(spark):
         assert offending == [], offending
     finally:
         ep.unpersist()
+
+
+def test_materialize_keeps_stats_flat(spark):
+    """Regression: Dataset.localCheckpoint carries the origin plan's ESTIMATED
+    sizeInBytes into the LogicalRDD; iterated self-joins then compound the
+    BigInt ~3-5x in bit length per generation, and by ~20 rounds the driver
+    spends minutes per job in BigInteger.multiply (measured: SCC rounds
+    1 s -> 25 s -> 120 s on identical 33-row inputs). materialize() rebuilds
+    over the checkpointed RDD with fresh stats — bit length must stay flat."""
+    from pyspark.sql import functions as F
+
+    from graphulo_spark.materialize import materialize
+
+    def size_bits(d):
+        return int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()).bit_length()
+
+    base = spark.createDataFrame([(i, i + 1) for i in range(10)], "v long, lbl long")
+    # materialize is an identity on the data itself
+    assert sorted(map(tuple, materialize(base).collect())) == sorted(map(tuple, base.collect()))
+
+    def jump_rounds(df, n, truncate):
+        for _ in range(n):
+            lut = df.select(F.col("v").alias("_pv"), F.col("lbl").alias("_pl"))
+            df = truncate(
+                df.join(lut, df["lbl"] == lut["_pv"], "left")
+                .select("v", F.coalesce("_pl", "lbl").alias("lbl"))
+            )
+            assert size_bits(df) <= 64 or truncate is not materialize, (
+                "materialize no longer resets carried statistics"
+            )
+        return sorted(map(tuple, df.collect()))
+
+    # same data out as the plain-localCheckpoint loop (few rounds: pre-cliff)
+    got = jump_rounds(materialize(base), 4, materialize)
+    want = jump_rounds(base.localCheckpoint(), 4, lambda d: d.localCheckpoint())
+    assert got == want

@@ -92,3 +92,43 @@ def test_scc_random_oracle(spark):
     df = spark.createDataFrame([(s, d, 1.0) for s, d in el], "src long, dst long, w double")
     got = {r["v"]: r["scc"] for r in scc(spark, df).collect()}
     assert got == want
+
+
+def test_scc_pointer_jumping_logarithmic_on_cycle(spark):
+    """A 1024-vertex directed cycle is ONE SCC with diameter 1023 — the r2
+    one-hop-per-round inner loops needed ~10^3 rounds on it. With the
+    label(label) shortcut (cc.py's pointer jumping applied to both the fwd
+    and bwd propagations) it must converge in O(log n) inner rounds."""
+    from graphulo_spark.watch import Watch
+
+    n = 1024
+    el = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame([(s, d, 1.0) for s, d in el], "src long, dst long, w double")
+    w = Watch(spark)
+    got = {r["v"]: r["scc"] for r in scc(spark, df, watch=w).collect()}
+    assert got == {v: 0 for v in range(n)}
+    rep = w.report()
+    assert rep["counters"]["outer_passes"] == 1
+    assert rep["counters"]["fwd_round"] <= 15, rep["counters"]
+    assert rep["counters"]["bwd_round"] <= 15, rep["counters"]
+    assert rep["spans"]["outer_pass"]["count"] == 1
+
+
+def test_scc_pointer_jumping_logarithmic_on_path(spark):
+    """A 1024-vertex directed path: all singleton SCCs. Single-pivot peeling
+    (the r2 shape) assigns ONE vertex per outer pass here — O(n) passes. With
+    (fwd, bwd) block refinement, pass 1 assigns the head and splits everyone
+    else into singleton blocks (distinct bwd labels), pass 2 assigns them
+    all: exactly 2 outer passes, with O(log n) shortcut-bounded inner rounds."""
+    from graphulo_spark.watch import Watch
+
+    n = 1024
+    el = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame([(s, d, 1.0) for s, d in el], "src long, dst long, w double")
+    w = Watch(spark)
+    got = {r["v"]: r["scc"] for r in scc(spark, df, watch=w).collect()}
+    assert got == {v: v for v in range(n)}
+    rep = w.report()
+    assert rep["counters"]["outer_passes"] <= 2
+    assert rep["counters"]["fwd_round"] <= 16, rep["counters"]
+    assert rep["counters"]["bwd_round"] <= 16, rep["counters"]

@@ -16,6 +16,18 @@ def test_triple_files(spark, tmp_path):
     assert got == {(1, 2): 2.0, (2, 3): 1.0, (3, 1): 1.0}
 
 
+def test_triple_files_leading_delimiter(spark, tmp_path):
+    """ADVICE r2: a seed file starting with the delimiter used to yield a
+    filtered-out empty token at position 0, shifting that file's real tokens
+    by one vs the other file — src/dst silently misaligned. Positions are now
+    assigned AFTER the empty-token filter."""
+    (tmp_path / "r.txt").write_text(",1,2,3\n")  # leading delimiter
+    (tmp_path / "c.txt").write_text("2,3,1\n")
+    e = read_triple_files(spark, str(tmp_path / "r.txt"), str(tmp_path / "c.txt"))
+    got = {(r["src"], r["dst"]): r["w"] for r in e.collect()}
+    assert got == {(1, 2): 1.0, (2, 3): 1.0, (3, 1): 1.0}
+
+
 @pytest.mark.parametrize(
     "spec,want",
     [

@@ -43,3 +43,56 @@ def test_pagerank_reports_superstep_spans(spark):
     assert r["spans"]["superstep"]["count"] == 4
     assert r["counters"]["supersteps"] == 4
     assert r["spans"]["superstep"]["mean_s"] > 0
+
+
+def test_cc_reports_superstep_spans(spark):
+    """Watch coverage beyond pagerank (VERDICT r2 next-round #5): every
+    iterative algorithm reports per-span counters."""
+    from graphulo_spark.algorithms import connected_components
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (5, 6, 1.0)], "src long, dst long, w double"
+    )
+    w = Watch(spark)
+    connected_components(spark, df, watch=w)
+    r = w.report()
+    assert r["spans"]["superstep"]["count"] >= 1
+    assert r["spans"]["convergence_test"]["count"] == r["spans"]["superstep"]["count"]
+    assert r["counters"]["supersteps"] == r["spans"]["superstep"]["count"]
+
+
+def test_label_prop_reports_superstep_spans(spark):
+    from graphulo_spark.algorithms import label_propagation
+
+    df = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, w double")
+    w = Watch(spark)
+    label_propagation(spark, df, iters=3, watch=w)
+    r = w.report()
+    assert r["spans"]["superstep"]["count"] == 3
+    assert r["counters"]["supersteps"] == 3
+
+
+def test_ktruss_reports_iteration_spans(spark, g5):
+    from graphulo_spark.algorithms.ktruss import ktruss
+
+    w = Watch(spark)
+    ktruss(spark, g5, k=3, watch=w)
+    r = w.report()
+    assert r["spans"]["support_filter"]["count"] >= 2  # ≥1 shrink + 1 fixpoint confirm
+    assert r["spans"]["fixpoint_test"]["count"] == r["spans"]["support_filter"]["count"]
+    assert r["counters"]["iterations"] == r["spans"]["support_filter"]["count"]
+
+
+def test_scc_reports_pass_and_round_counters(spark):
+    from graphulo_spark.algorithms.scc import scc
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0)], "src long, dst long, w double"
+    )
+    w = Watch(spark)
+    scc(spark, df, watch=w)
+    r = w.report()
+    assert r["counters"]["outer_passes"] >= 1
+    assert r["counters"]["fwd_round"] >= 1
+    assert r["counters"]["bwd_round"] >= 1
+    assert r["spans"]["outer_pass"]["count"] == r["counters"]["outer_passes"]
