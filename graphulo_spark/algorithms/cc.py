@@ -25,6 +25,7 @@ on a path-shaped component at web scale. Each round is 3 bounded shuffles
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,7 @@ def connected_components(
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = sym.repartition(n_parts, "src").cache()
 
+    span = watch.span if watch is not None else (lambda _name: nullcontext())
     vertices = sym.select(F.col("src").alias("v")).distinct()
 
     start_step = 0
@@ -101,23 +103,16 @@ def connected_components(
                 new_labels.join(lut, new_labels["label"] == lut["_pv"], "left")
                 .select("v", F.coalesce("_pl", "label").alias("label"))
             )
+        with span("superstep"):
+            new_labels = ckpt.save(step, new_labels) if ckpt else new_labels.transform(materialize)
         if watch is not None:
-            with watch.span("superstep"):
-                new_labels = ckpt.save(step, new_labels) if ckpt else new_labels.transform(materialize)
             watch.increment("supersteps")
-        elif ckpt:
-            new_labels = ckpt.save(step, new_labels)
-        else:
-            new_labels = new_labels.transform(materialize)
         changed_df = (
             new_labels.withColumnRenamed("label", "_ln")
             .join(labels.withColumnRenamed("label", "_lo"), "v")
             .filter(F.col("_ln") != F.col("_lo"))
         )
-        if watch is not None:
-            with watch.span("convergence_test"):
-                changed = changed_df.count()
-        else:
+        with span("convergence_test"):
             changed = changed_df.count()
         if history is not None:
             history.append({"step": step, "changed": changed})

@@ -12,6 +12,7 @@ nnz=10 (5 undirected edges), 4-truss after adding v2-v4 has nnz=12.
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,7 @@ def ktruss(
     params = {"alg": "ktruss", "k": k}
     ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params) if checkpoint_dir else None
 
+    span = watch.span if watch is not None else (lambda _name: nullcontext())
     cur = canonicalize(edges).select("src", "dst")
     cur = ckpt.save(0, cur) if ckpt else cur.transform(materialize)
     n = cur.count()
@@ -47,16 +49,11 @@ def ktruss(
             .filter(F.col("support") >= k - 2)
             .select("src", "dst")
         )
-        if watch is not None:
-            with watch.span("support_filter"):
-                kept = ckpt.save(step, kept) if ckpt else kept.transform(materialize)
-            watch.increment("iterations")
-        else:
+        with span("support_filter"):
             kept = ckpt.save(step, kept) if ckpt else kept.transform(materialize)
         if watch is not None:
-            with watch.span("fixpoint_test"):
-                m = kept.count()
-        else:
+            watch.increment("iterations")
+        with span("fixpoint_test"):
             m = kept.count()
         cur = kept
         if m == n:

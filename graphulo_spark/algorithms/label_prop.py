@@ -15,6 +15,7 @@ iteration count (LPA can oscillate on bipartite structures); labels are LONG.
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -54,6 +55,7 @@ def label_propagation(
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = sym.repartition(n_parts, "src").cache()
 
+    span = watch.span if watch is not None else (lambda _name: nullcontext())
     vertices = sym.select(F.col("src").alias("v")).distinct()
 
     start_step = 0
@@ -87,14 +89,10 @@ def label_propagation(
             .join(labels.withColumnRenamed("label", "_old"), "v", "left")
             .select("v", F.coalesce("label", "_old").alias("label"))
         )
+        with span("superstep"):
+            new_labels = ckpt.save(step, new_labels) if ckpt else new_labels.transform(materialize)
         if watch is not None:
-            with watch.span("superstep"):
-                new_labels = ckpt.save(step, new_labels) if ckpt else new_labels.transform(materialize)
             watch.increment("supersteps")
-        elif ckpt:
-            new_labels = ckpt.save(step, new_labels)
-        else:
-            new_labels = new_labels.transform(materialize)
         labels = new_labels
 
     return labels

@@ -34,6 +34,7 @@ UDF over CSR-blocked partitions) — right up to ~10^8-10^9 vertices even at
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -133,8 +134,24 @@ def pagerank(
 
     use_arrow = strategy == "arrow"
     if use_arrow:
-        # dense vertex index (one-time O(|V|) sort; |V| rows, not |E|)
-        vidx = vertices.select("v", (F.row_number().over(Window.orderBy("v")) - 1).alias("vi")).cache()
+        # dense vertex index WITHOUT a global window (a single-partition sort
+        # funnel at 10^9 vertices): per-partition row_number + broadcast
+        # partition-offset prefix — the same two-level prefix sum as the
+        # transcript generator. Any dense bijection v→[0,n) works here (vi
+        # only indexes the broadcast rank array within this call).
+        _tmp = vertices.withColumn("_pid", F.spark_partition_id())
+        _wp = Window.partitionBy("_pid").orderBy("v")
+        _tmp = _tmp.withColumn("_r", F.row_number().over(_wp) - 1)
+        _counts = _tmp.groupBy("_pid").agg(F.count("*").alias("_n"))
+        _woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        _offs = _counts.select(
+            "_pid", F.coalesce(F.sum("_n").over(_woff), F.lit(0)).alias("_off")
+        )  # |partitions| rows — the only windowed table, trivially small
+        vidx = (
+            _tmp.join(F.broadcast(_offs), "_pid")
+            .select("v", (F.col("_off") + F.col("_r")).alias("vi"))
+            .cache()
+        )
         edges_idx = (
             norm_edges.join(vidx.withColumnRenamed("v", "src").withColumnRenamed("vi", "si"), "src")
             .join(vidx.withColumnRenamed("v", "dst").withColumnRenamed("vi", "di"), "dst")
@@ -178,6 +195,7 @@ def pagerank(
             .collect()
         ]
 
+    span = watch.span if watch is not None else (lambda _name: nullcontext())
     sc = spark.sparkContext
     for step in range(start_step + 1, max_iter + 1):
         if use_arrow:
@@ -221,14 +239,12 @@ def pagerank(
                 ).alias("x"),
             )
 
-        if watch is not None:
-            # Watch span parity (skvi/Watch.java): the state materialization
-            # is the one action per superstep — timing it times the superstep
-            with watch.span("superstep"):
-                new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.transform(materialize)
-            watch.increment("supersteps")
-        else:
+        # Watch span parity (skvi/Watch.java): the state materialization is
+        # the one action per superstep — timing it times the superstep
+        with span("superstep"):
             new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.transform(materialize)
+        if watch is not None:
+            watch.increment("supersteps")
 
         # fixed-iteration mode (tol<=0): skip the convergence job entirely —
         # one fewer action + vertex-join per superstep
@@ -239,10 +255,7 @@ def pagerank(
                 .join(ranks.withColumnRenamed("x", "_xo"), "v", "full")
                 .agg(F.sum(F.abs(F.coalesce("_xn", F.lit(0.0)) - F.coalesce("_xo", F.lit(0.0)))))
             )
-            if watch is not None:
-                with watch.span("delta"):
-                    delta = delta_df.collect()[0][0]
-            else:
+            with span("delta"):
                 delta = delta_df.collect()[0][0]
         if history is not None:
             history.append({"step": step, "delta": delta})

@@ -56,9 +56,7 @@ def _min_label(
 
         ptr(v) ∈ Provided*(v)  (transitively reaches v through providers)
         per round:  lbl(v) ← min(lbl(v), min_providers lbl, lbl(ptr(v)))
-                    ptr(v) ← the better of ptr(ptr(v)) and the currently
-                             best provider — re-aimed every round at
-                             wherever the smallest label is known
+                    ptr(v) ← ptr(ptr(v))   (pure doubling, unconditionally)
 
     The naive shortcut lbl ← lbl(lbl(v)) is a NO-OP whenever lbl(v) = v —
     on an id-increasing cycle the backward sweep then crawls one hop per

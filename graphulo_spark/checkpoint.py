@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
 RUN_MANIFEST = "_RUN.json"
+SIDE_DIR = "side"  # engine-owned side-input tables live under run_dir/side/
 
 
 def _params_hash(params: dict[str, Any]) -> str:
@@ -165,7 +166,7 @@ class SuperstepCheckpointer:
             # guard is live from step 0), or state left by something that
             # never validated — refusing beats side_input() silently reusing
             # parquet derived from an unknown input.
-            leftovers = [d for d in self.fs.listdir(self.run_dir) if not d.startswith("_")]
+            leftovers = [d for d in self.fs.listdir(self.run_dir) if self._is_state(d)]
             if leftovers:
                 raise ValueError(
                     f"refusing to resume {self.run_dir}: no {RUN_MANIFEST} but "
@@ -174,10 +175,16 @@ class SuperstepCheckpointer:
                 )
             self._stamp(run_m)
             return
+        # Clear ONLY engine-owned state (step=K dirs + the side/ table dir) —
+        # a run_dir the user also keeps other files in must never be swept.
         for d in self.fs.listdir(self.run_dir):
-            if not d.startswith("_"):  # step=K dirs AND side-input tables
+            if self._is_state(d):
                 self.fs.delete(f"{self.run_dir}/{d}")
         self._stamp(run_m)
+
+    @staticmethod
+    def _is_state(name: str) -> bool:
+        return name.startswith("step=") or name == SIDE_DIR
 
     def _stamp(self, run_m: str) -> None:
         self.fs.write_text(
@@ -196,7 +203,7 @@ class SuperstepCheckpointer:
     def side_input(self, name: str, df: DataFrame, *, resume: bool) -> DataFrame:
         """Materialize a per-run side table once; on resume, reuse the existing
         parquet (prepare() already validated the input fingerprint)."""
-        path = f"{self.run_dir}/{name}"
+        path = f"{self.run_dir}/{SIDE_DIR}/{name}"
         if not (resume and self.fs.exists(path)):
             df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)

@@ -42,6 +42,10 @@ def materialize(df: DataFrame) -> DataFrame:
     ``.map(_.copy())`` silently corrupts any downstream operator that
     buffers rows), and the origin stats it preserves are the wrapper's flat
     defaults, not the compounding join estimates."""
+    # The try covers ONLY the JVM reflection (absent on Spark Connect or
+    # after API drift) — the eager localCheckpoint runs outside it, so a
+    # real execution failure (executor OOM, corrupt input) surfaces once
+    # instead of being silently retried through the fallback.
     try:
         jdf = df._jdf
         jspark = df.sparkSession._jsparkSession
@@ -51,6 +55,6 @@ def materialize(df: DataFrame) -> DataFrame:
             ),
             df.sparkSession,
         )
-        return fresh.localCheckpoint()
     except Exception:  # Spark Connect / API drift: correctness over speed
-        return df.localCheckpoint()
+        fresh = df
+    return fresh.localCheckpoint()

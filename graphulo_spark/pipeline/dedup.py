@@ -101,8 +101,10 @@ def minhash_signatures(
 
     hash_family='md5' is the oracle-portable path (DuckDB reproduces it
     bit-for-bit). 'xxhash64' is the production path: same min-hash family over
-    a 64-bit integer hash, ~5-10x less CPU per shingle than md5-over-hex —
-    use it when nothing needs to cross-check the signature bytes."""
+    a 64-bit integer hash — long mins instead of 32-char-hex string mins in
+    the aggregate. Measured ~20% faster end-to-end at sf0.1 (alternating A/B,
+    idle box: 3.1 s vs 3.9 s) — the query is dominated by the shingle explode
+    and shuffle, not the hash kernel — and its band keys stay integers."""
     sh = shingles(docs, text_col, id_col, n)
     if hash_family == "xxhash64":
         aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}") for i in range(k)]

@@ -102,6 +102,22 @@ def test_fresh_run_clears_stale_steps(spark, tmp_path):
     assert ck.latest_step() == 2
 
 
+def test_fresh_run_preserves_user_files(spark, tmp_path):
+    """A fresh run sweeps ONLY engine-owned state (step=K dirs + side/) —
+    a run_dir the user also keeps other files in must never be swept."""
+    df = spark.createDataFrame(_random_graph(n=20, m=50, seed=9), "src long, dst long, w double")
+    d = str(tmp_path / "run")
+    os.makedirs(d)
+    with open(os.path.join(d, "results.csv"), "w") as f:
+        f.write("keep me")
+    pagerank(spark, df, tol=0.0, max_iter=2, checkpoint_dir=d)
+    pagerank(spark, df, tol=0.0, max_iter=1, checkpoint_dir=d)  # fresh again: sweeps state
+    with open(os.path.join(d, "results.csv")) as f:
+        assert f.read() == "keep me"
+    assert not os.path.exists(os.path.join(d, "step=2"))  # stale step swept
+    assert os.path.isdir(os.path.join(d, "side"))  # side inputs live under side/
+
+
 def test_resume_on_fresh_dir_stamps_run_manifest(spark, tmp_path):
     """ADVICE r2 (medium): the natural 'resume if possible' pattern — always
     passing resume=True — previously never wrote _RUN.json on the first run,
