@@ -94,6 +94,27 @@ def test_scc_random_oracle(spark):
     assert got == want
 
 
+def test_scc_block_refinement_on_cycle_chain(spark):
+    """A chain of 50 two-cycles (C0 → C1 → … → C49) is a 50-level
+    condensation: single-pivot peeling (the r2 shape) removes one SCC per
+    outer pass — 50 passes. (fwd, bwd) block refinement splits the chain
+    into per-SCC blocks after pass 1 (shared fwd = 0, distinct bwd = own
+    cycle min), so pass 2 finishes everything: ≤2 outer passes, exact."""
+    from graphulo_spark.watch import Watch
+
+    el = []
+    for i in range(50):
+        a, b = 2 * i, 2 * i + 1
+        el += [(a, b), (b, a)]
+        if i < 49:
+            el.append((b, a + 2))
+    df = spark.createDataFrame([(s, d, 1.0) for s, d in el], "src long, dst long, w double")
+    w = Watch(spark)
+    got = {r["v"]: r["scc"] for r in scc(spark, df, watch=w).collect()}
+    assert got == {v: 2 * (v // 2) for v in range(100)}
+    assert w.report()["counters"]["outer_passes"] <= 2
+
+
 def test_scc_pointer_jumping_logarithmic_on_cycle(spark):
     """A 1024-vertex directed cycle is ONE SCC with diameter 1023 — the r2
     one-hop-per-round inner loops needed ~10^3 rounds on it. With the
