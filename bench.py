@@ -35,7 +35,12 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+# 5 reps (was 3): this VM's ambient interference shows up as single-rep
+# spikes of up to 6-8x (host-level, not engine — an idle-box vmstat shows no
+# steal, yet one rep in ~10 stalls); median-of-5 rejects two spiked reps
+# where median-of-3 tolerates only one. Per-query min is also published as
+# the engine's demonstrated-capable time.
+BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
 
 def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
@@ -50,6 +55,7 @@ def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
 
     spark = get_spark(app="graphulo-bench", cores=cpus)
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
     rep_detail: dict[str, list[float]] = {}
     meta: dict[str, float] = {}
 
@@ -69,6 +75,7 @@ def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
             out = fn()
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        best[name] = round(min(runs), 3)
         rep_detail[name] = [round(r, 3) for r in runs]
         return out
 
@@ -138,6 +145,7 @@ def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "sf": _sf_label(sf_dir),
         "cpus": str(cpus),
         "timing_protocol": f"warm-median-of-{BENCH_REPS}",
+        "best_seconds": best,
         "rep_seconds": rep_detail,
         **meta,
     }

@@ -60,7 +60,12 @@ from graphulo_spark.pipeline.dedup import (
     simhash,
     simhash_pairs,
 )
-from graphulo_spark.pipeline.similarity import ann_candidates, bray_curtis_pairs, cosine_topk
+from graphulo_spark.pipeline.similarity import (
+    ann_candidates,
+    bray_curtis_pairs,
+    cosine_topk,
+    embedding_near_dup,
+)
 from graphulo_spark.pipeline.text import doc_fingerprint, lang_id, quality_score, token_count
 
 # degree low-pass for the Jaccard query: ≤ 90 keeps roughly the lower half of
@@ -604,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_candidates"] = lambda spark, sf: ann_candidates(
         spark.read.parquet(f"{sf}/embeddings.parquet"), n_planes=8, n_tables=3
     )
+    q["embedding_near_dup"] = lambda spark, sf: embedding_near_dup(
+        spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.35, n_planes=8, n_tables=3
+    )
     q["bray_curtis"] = lambda spark, sf: (
         bray_curtis_pairs(
             spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -949,6 +957,16 @@ scored AS (
 SELECT query_id, vec_id, cosine FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5"""
     o["ann_candidates"] = _ann_sql(n_planes=8, n_tables=3)
+    # embedding-cosine near-dup: same LSH candidate construction, thresholded,
+    # then each duplicate maps to its smallest qualifying neighbor. Threshold
+    # 0.35 is non-vacuous on the synthetic embeddings (max pairwise cosine at
+    # sf0.01 is 0.513 — there are no planted identical vectors).
+    o["embedding_near_dup"] = f"""
+WITH cand AS MATERIALIZED ({_ann_sql(n_planes=8, n_tables=3)}),
+dup AS (SELECT * FROM cand WHERE cosine >= 0.35),
+rep AS (SELECT id_b, MIN(id_a) AS dup_of FROM dup GROUP BY id_b)
+SELECT r.id_b AS vec_id, r.dup_of, d.cosine
+FROM rep r JOIN dup d ON r.id_b = d.id_b AND r.dup_of = d.id_a"""
     o["bray_curtis"] = """
 WITH sub AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding::DOUBLE[], x -> abs(x)) AS v

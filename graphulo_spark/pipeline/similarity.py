@@ -122,6 +122,43 @@ def ann_candidates(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: [vec_id, dup_of, cosine].
+
+    For every vector with at least one LSH-candidate neighbor of cosine ≥
+    ``threshold`` and a smaller id, emit the SMALLEST such neighbor as its
+    canonical representative (``dup_of``) plus that pair's cosine. Vectors
+    with no qualifying neighbor are survivors and produce no row — the keep
+    set is ``all ids − emitted vec_ids``.
+
+    Scale shape: candidates come from ``ann_candidates`` (bucketed
+    hyperplane-LSH join, OR-amplified over ``n_tables`` — never all-pairs),
+    so the pass over 10⁹ embeddings shuffles bucket keys + ids only. Recall
+    is the LSH recall: a pair missed by every table is not seen; raise
+    ``n_tables`` to trade compute for recall (standard OR-amplification).
+    Representative choice is 1-hop (min candidate-neighbor id), the same
+    greedy rule as ``exact_dedup``'s min-id winner — NOT transitive-closure
+    clustering; chain A~B~C with cos(A,C) < threshold keeps A and maps B→A,
+    C→B. Use connected_components on the pair graph when closure semantics
+    are wanted.
+    """
+    pairs = ann_candidates(
+        embeddings, n_planes=n_planes, n_tables=n_tables, id_col=id_col, vec_col=vec_col
+    ).filter(F.col("cosine") >= threshold)
+    reps = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return reps.join(
+        pairs, (reps["id_b"] == pairs["id_b"]) & (reps["dup_of"] == pairs["id_a"])
+    ).select(reps["id_b"].alias("vec_id"), "dup_of", "cosine")
+
+
 def bray_curtis_pairs(
     vectors: DataFrame,
     *,

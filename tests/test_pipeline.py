@@ -21,7 +21,7 @@ from graphulo_spark.pipeline import (
     token_count,
 )
 from graphulo_spark.pipeline.multimodal import decode_and_featurize, sample_frames, synthesize_media
-from graphulo_spark.pipeline.similarity import ann_candidates
+from graphulo_spark.pipeline.similarity import ann_candidates, embedding_near_dup
 
 SF = "/root/testdata/sf0.001"
 
@@ -134,6 +134,19 @@ def test_ann_lsh_recall_vs_brute(spark):
     top = [(min(r["query_id"], r["vec_id"]), max(r["query_id"], r["vec_id"])) for r in brute.collect()]
     recall = sum(1 for p in top if p in cand_pairs) / len(top)
     assert recall >= 0.5  # 4 planes on clustered embeddings: most neighbors share a bucket
+
+
+def test_embedding_near_dup_representatives(spark):
+    # 1 ≈ 2 ≈ 3 (near-identical cluster), 4 orthogonal. With few planes every
+    # cluster pair shares a bucket; reps must be the smallest qualifying
+    # neighbor id, and the survivor (4) must emit no row.
+    rows = [
+        (1, [1.0, 0.01]), (2, [1.0, 0.011]), (3, [1.0, 0.012]), (4, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["dup_of"] for r in
+           embedding_near_dup(emb, threshold=0.99, n_planes=2, n_tables=2).collect()}
+    assert got == {2: 1, 3: 1}
 
 
 def test_multimodal_plumbing(spark):
