@@ -57,26 +57,58 @@ def _closer(e: DataFrame) -> DataFrame:
     return e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
 
 
-def triangle_closers(edges: DataFrame, orientation: str = "degree") -> DataFrame:
+# Closer-join strategy threshold, in ORIENTED-EDGE rows. The wedge table is
+# O(Σ d_out²) — at sf0.1 the copurchase graph makes 49M wedges from 1.2M
+# edges, and shuffling them to meet the closer set dominates the whole count.
+# Broadcasting the closer set instead filters wedges to actual triangles
+# INSIDE the wedge-join stage (zero post-wedge shuffle). A (src,dst) long-pair
+# hash of 4M edges is ~200-300 MB — the usual broadcast-dim budget on 4-8 GB
+# executors; above that, fall back to shuffling pre-aggregated wedge counts.
+DEFAULT_CLOSER_BROADCAST_THRESHOLD = 4_000_000
+
+
+def triangle_closers(
+    edges: DataFrame,
+    orientation: str = "degree",
+    *,
+    closer_strategy: str = "auto",
+    broadcast_threshold: int = DEFAULT_CLOSER_BROADCAST_THRESHOLD,
+) -> DataFrame:
     """DataFrame of one row per triangle (a<b<c in the orientation order):
-    columns (a, b, c). Exact, each triangle exactly once."""
+    columns (a, b, c). Exact, each triangle exactly once.
+
+    closer_strategy: 'broadcast' ships the closer edge set to every task (the
+    wedge never shuffles again), 'shuffle' joins distributed (any |E|),
+    'auto' picks by oriented-edge count vs ``broadcast_threshold``."""
     # materialize once: e is referenced three times below, and without a
     # cache Spark re-executes the whole upstream derivation per reference
     e = _oriented(edges, orientation).cache()
-    return _wedges(e).join(_closer(e), ["a", "c"], "inner")
+    if closer_strategy == "auto":
+        closer_strategy = "broadcast" if e.count() <= broadcast_threshold else "shuffle"
+    closer = F.broadcast(_closer(e)) if closer_strategy == "broadcast" else _closer(e)
+    return _wedges(e).join(closer, ["a", "c"], "inner")
 
 
-def triangle_count(edges: DataFrame, orientation: str = "degree") -> int:
+def triangle_count(
+    edges: DataFrame,
+    orientation: str = "degree",
+    *,
+    closer_strategy: str = "auto",
+    broadcast_threshold: int = DEFAULT_CLOSER_BROADCAST_THRESHOLD,
+) -> int:
     """Total exact triangle count (parity: AlgorithmTest.java:259 == 2).
 
-    Count path pre-aggregates wedges by (a, c) BEFORE the closer join:
-    map-side combine collapses the (often many) wedges sharing endpoints —
-    co-purchase-style graphs connect the same pair through hundreds of
-    middles — so the shuffle ships one (a, c, n) row per endpoint pair
-    instead of one row per wedge, and the closer join probes |E| rows
-    against the combined counts. Same count, strictly less shuffle than
-    counting triangle_closers' per-triangle rows."""
+    broadcast closer path (|E| under threshold): wedges surviving the
+    broadcast join ARE triangles — a plain count, no aggregation shuffle at
+    all. shuffle path (huge |E|): pre-aggregate wedges by (a, c) before the
+    distributed closer join, so the shuffle ships one (a, c, n) row per
+    endpoint pair instead of one row per wedge."""
     e = _oriented(edges, orientation).cache()
+    m = e.count()
+    if closer_strategy == "auto":
+        closer_strategy = "broadcast" if m <= broadcast_threshold else "shuffle"
+    if closer_strategy == "broadcast":
+        return int(_wedges(e).join(F.broadcast(_closer(e)), ["a", "c"], "inner").count())
     wedge_counts = _wedges(e).groupBy("a", "c").agg(F.count("*").alias("n"))
     total = wedge_counts.join(_closer(e), ["a", "c"]).agg(F.sum("n").alias("t")).collect()[0]["t"]
     return int(total or 0)

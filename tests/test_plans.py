@@ -121,6 +121,22 @@ def test_spmv_plain_reuses_prepartitioned_edges(spark):
         ep.unpersist()
 
 
+def test_triangle_closer_broadcast_filters_wedges_in_stage(spark):
+    """Under the broadcast threshold, the closer join must be a
+    BroadcastHashJoin: the O(Σd²) wedge table is filtered to triangles inside
+    the wedge-join stage instead of being shuffled on (a, c) — the 4x win
+    measured at sf0.1 (49M wedges vs 1.2M closers)."""
+    from graphulo_spark.algorithms.triangles import triangle_closers
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (3, 4, 1.0)], "src long, dst long, w double"
+    )
+    p = _plan(triangle_closers(e, orientation="id", closer_strategy="broadcast"))
+    assert "BroadcastHashJoin" in p
+    shuffled = _plan(triangle_closers(e, orientation="id", closer_strategy="shuffle"))
+    assert "BroadcastHashJoin" not in shuffled  # huge-|E| path never collects edges
+
+
 def test_materialize_keeps_stats_flat(spark):
     """Regression: Dataset.localCheckpoint carries the origin plan's ESTIMATED
     sizeInBytes into the LogicalRDD; iterated self-joins then compound the
