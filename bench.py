@@ -136,6 +136,17 @@ def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("cosine_topk", lambda: cosine_topk(emb, emb.orderBy("vec_id").limit(10), k=10).count())
 
+    # time-to-convergence at tol=1e-6 (the BASELINE metric's own phrasing) —
+    # single-shot informational metric, not a timed() rep query: it runs
+    # O(tens) of supersteps and would dominate the suite at 5 reps. Uses the
+    # engine-best fixed-iteration plan (plain+resident).
+    spark.catalog.clearCache()
+    hist: list = []
+    t0 = time.time()
+    pagerank(spark, edges, tol=1e-6, max_iter=200, strategy="plain", history=hist).count()
+    meta["pagerank_converge_1e6_seconds"] = round(time.time() - t0, 3)
+    meta["pagerank_converge_1e6_supersteps"] = len(hist)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_seconds",

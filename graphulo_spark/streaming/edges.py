@@ -72,6 +72,115 @@ def read_edge_partials(spark: SparkSession, output_dir: str) -> DataFrame:
     )
 
 
+def stream_induce_edges_stateful(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    idle_timeout_ms: int | None = None,
+    max_files_per_trigger: int = 16,
+    trigger_available_now: bool = True,
+):
+    """Cross-micro-batch edge induction via applyInPandasWithState.
+
+    ``stream_induce_edges`` derives edges per micro-batch, so a conversation
+    split across batches silently loses the edge linking its boundary turns.
+    This variant keeps per-conversation state — the last (turn_idx, entity)
+    seen — so the first turn of a later batch links back to the last turn of
+    an earlier one: streaming output == batch ``induce_edges`` regardless of
+    how conversations are chopped (pinned by test against the batch path).
+
+    Scale shape: state is O(active conversations) × ~2 small fields, hash-
+    partitioned by conv_id (Spark's streaming state store — RocksDB-backed on
+    real clusters). ``idle_timeout_ms`` expires conversations idle longer
+    than that of *processing* time — mandatory at 10^12-turn scale, where
+    unexpired state would grow with every conversation ever seen; None keeps
+    state forever (tests / bounded replays).
+
+    Emits CONSECUTIVE-turn edges only: participant edges (conv → entity)
+    carry no cross-turn state, so they stay a stateless projection of the
+    stream (union them downstream when wanted).
+
+    Assumes turns of a conversation arrive in turn_idx order across batches
+    (the input's stable-(conv_id, turn_idx) premise); within a batch any
+    order is fine (sorted here). Emits entity-STRING pairs; callers resolve
+    vertex ids with the same xxhash64 the batch path uses (keeping the hash
+    JVM-side — the Python worker never needs to reimplement it).
+    """
+    import pandas as pd  # locals — the stateful func ships to Python workers
+
+    def _induce(key, pdfs, state):
+        conv_id = key[0]
+        chunks = [p[["turn_idx", "role", "tool"]] for p in pdfs]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("turn_idx")
+        ent = pdf["role"].where(pdf["tool"].isna(), pdf["role"] + "/" + pdf["tool"])
+        ents = ent.tolist()
+        idxs = pdf["turn_idx"].tolist()
+        prev_ent = None
+        if state.exists:
+            _, prev_ent = state.get
+        srcs, dsts = [], []
+        for e in ents:
+            if prev_ent is not None:
+                srcs.append(prev_ent)
+                dsts.append(e)
+            prev_ent = e
+        if ents:
+            state.update((int(idxs[-1]), ents[-1]))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if srcs:
+            yield pd.DataFrame({"conv_id": conv_id, "src_ent": srcs, "dst_ent": dsts})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(TURN_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    edges = stream.groupBy("conv_id").applyInPandasWithState(
+        _induce,
+        outputStructType="conv_id string, src_ent string, dst_ent string",
+        stateStructType="last_idx int, last_ent string",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    writer = (
+        edges.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def resolve_edge_entities(edge_pairs: DataFrame) -> DataFrame:
+    """Entity-string pairs → the batch path's id space: [src, dst, w] with
+    src/dst = xxhash64(entity), w = pair count, self-loops dropped (the same
+    finalization as transcripts.induce_edges)."""
+    return (
+        edge_pairs.select(
+            F.xxhash64("src_ent").alias("src"), F.xxhash64("dst_ent").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
 def stream_edge_counts(
     spark: SparkSession,
     input_dir: str,

@@ -5,7 +5,11 @@ from __future__ import annotations
 import pytest
 
 from graphulo_spark.streaming import stream_edge_counts, stream_induce_edges
-from graphulo_spark.streaming.edges import read_edge_partials
+from graphulo_spark.streaming.edges import (
+    read_edge_partials,
+    resolve_edge_entities,
+    stream_induce_edges_stateful,
+)
 from graphulo_spark.transcripts import generate_transcripts, induce_edges
 
 
@@ -37,6 +41,33 @@ def test_stream_resumes_from_checkpoint(spark, tmp_path):
     got = {(r["src"], r["dst"]): r["w"] for r in read_edge_partials(spark, outp).collect()}
     want = {(r["src"], r["dst"]): r["w"] for r in induce_edges(t).collect()}
     assert got == want
+
+
+def test_stateful_stream_links_across_batches(spark, tmp_path):
+    """A conversation chopped mid-way across micro-batches must still emit the
+    boundary edge — the per-batch inducer can't; the stateful one must match
+    batch induce_edges exactly (consecutive edges; participant edges are a
+    stateless projection outside the operator)."""
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    t = generate_transcripts(spark, 40).cache()
+    # chop EVERY conversation in half across two files → one batch each
+    # (maxFilesPerTrigger=1): every conversation has a cross-batch boundary
+    t.filter("turn_idx < 5").coalesce(1).write.mode("append").parquet(inp)
+    t.filter("turn_idx >= 5").coalesce(1).write.mode("append").parquet(inp)
+
+    q = stream_induce_edges_stateful(spark, inp, outp, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    got_df = resolve_edge_entities(spark.read.parquet(outp))
+    got = {(r["src"], r["dst"]): r["w"] for r in got_df.collect()}
+    want = {
+        (r["src"], r["dst"]): r["w"]
+        for r in induce_edges(t, include_participant=False).collect()
+    }
+    assert got == want
+    # sanity: the per-batch inducer on the same chopped input would MISS the
+    # turn4→turn5 boundary edges — state is what closes the gap
+    assert len(got) > 0
 
 
 def test_windowed_counts_plan_is_streaming(spark, tmp_path):
