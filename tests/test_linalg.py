@@ -143,3 +143,44 @@ def test_spmv_hot_keys_matches_plain(spark, edges, vec):
     got = {r["v"]: r["x"] for r in spmv(edges, vec, strategy="plain", hot_keys=[1, 3]).collect()}
     for d in range(5):
         assert abs(got.get(d, 0.0) - want[d]) < 1e-12
+
+
+def test_table_mult_rowop_equals_spgemm(spark, edges):
+    """RowMultiplyOp path (cogroup + applyInPandas, default outer-product
+    body) must agree cell-for-cell with the join+aggregate spgemm — the
+    reference's two-implementations-agree discipline for extension points."""
+    from graphulo_spark.linalg.rowmult import table_mult_rowop
+
+    want = {(r["src"], r["dst"]): r["w"] for r in spgemm(edges, edges).collect()}
+    got = {(r["src"], r["dst"]): r["w"] for r in table_mult_rowop(edges, edges).collect()}
+    assert got == want
+
+
+def test_table_mult_rowop_custom_row_fn(spark, edges):
+    """A body only the whole-row extension point can express: emit the cross
+    of the matched rows gated on the A-slice's row minimum (RowStartMultiplyOp
+    flavor — row-content condition decided before any product)."""
+    import numpy as np
+    from graphulo_spark.linalg.rowmult import table_mult_rowop
+
+    def gated(ai, aw, bj, bw):
+        if aw.min() < 1.0:  # whole-row condition, not per-cell
+            return np.array([], dtype="int64"), np.array([], dtype="int64"), np.array([])
+        ii = np.repeat(ai, len(bj))
+        jj = np.tile(bj, len(ai))
+        return ii, jj, np.repeat(aw, len(bj)) * np.tile(bw, len(ai))
+
+    got = {(r["src"], r["dst"]): r["w"]
+           for r in table_mult_rowop(edges, edges, row_fn=gated).collect()}
+    # rows k=3 (min w = 0.5 < 1) contribute nothing; recompute expectation
+    a = _dense(EDGES)
+    a_gated = a.copy()
+    for k in range(5):
+        nz = a[k][a[k] != 0]
+        if len(nz) and nz.min() < 1.0:
+            a_gated[k] = 0
+    want = a_gated.T @ a_gated
+    # gating zeroes A rows on BOTH sides (same table passed twice)
+    for i in range(5):
+        for j in range(5):
+            assert abs(got.get((i, j), 0.0) - want[i, j]) < 1e-12
