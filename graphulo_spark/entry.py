@@ -39,6 +39,7 @@ from graphulo_spark.algorithms.triangles import edge_support, triangle_closers
 from graphulo_spark.algorithms.ktruss import ktruss, ktruss_edge
 from graphulo_spark.linalg.edges import canonicalize
 from graphulo_spark.linalg.incidence import edge_bfs, from_incidence, to_incidence
+from graphulo_spark.linalg.rowmult import table_mult_rowop
 from graphulo_spark.linalg import (
     bernoulli_sample,
     degrees,
@@ -507,6 +508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spgemm_tablemult"] = lambda spark, sf: spgemm(
         transitions_edges(spark, sf), transitions_edges(spark, sf)
     )
+    # same contraction through the RowMultiplyOp execution path (cogroup +
+    # whole-row pandas body) — the strategies-agree discipline: an
+    # independent green row for the extension point, same oracle SQL
+    q["spgemm_rowop"] = lambda spark, sf: table_mult_rowop(
+        transitions_edges(spark, sf), transitions_edges(spark, sf)
+    )
 
     # -- graph algorithms --
     q["triangle_count"] = lambda spark, sf: (
@@ -772,6 +779,7 @@ WITH {TRANSITIONS_CTE.strip()}
 SELECT a.dst AS src, b.dst AS dst, SUM(a.w * b.w) AS w
 FROM trans a JOIN trans b ON a.src = b.src
 GROUP BY 1, 2 HAVING SUM(a.w * b.w) != 0"""
+    o["spgemm_rowop"] = o["spgemm_tablemult"]
     o["triangle_count"] = f"""
 WITH {COPURCHASE_CTE.strip()},
 e AS (SELECT src, dst FROM copurchase)

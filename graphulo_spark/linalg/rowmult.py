@@ -52,15 +52,17 @@ def table_mult_rowop(
     else:
         at = a.select(F.col("dst").alias("k"), F.col("src").alias("i"), F.col("w").alias("wa"))
     bt = b.select(F.col("src").alias("k"), F.col("dst").alias("j"), F.col("w").alias("wb"))
+    # vertex ids keep their input type (long hashes OR raw string keys — the
+    # transitions graph uses event-type strings); the Arrow schema follows
+    i_type = at.schema["i"].dataType.simpleString()
+    j_type = bt.schema["j"].dataType.simpleString()
 
     def _pair(key, apdf, bpdf):
         import numpy as np
         import pandas as pd
 
         if len(apdf) == 0 or len(bpdf) == 0:
-            return pd.DataFrame({"i": [], "j": [], "p": []}).astype(
-                {"i": "int64", "j": "int64", "p": "float64"}
-            )
+            return pd.DataFrame({"i": [], "j": [], "p": []})
         ai = apdf["i"].to_numpy()
         aw = apdf["wa"].to_numpy()
         bj = bpdf["j"].to_numpy()
@@ -72,7 +74,7 @@ def table_mult_rowop(
             ii = np.repeat(ai, len(bj))
             jj = np.tile(bj, len(ai))
             pp = np.repeat(aw, len(bj)) * np.tile(bw, len(ai))
-        out = pd.DataFrame({"i": ii.astype("int64"), "j": jj.astype("int64"), "p": pp})
+        out = pd.DataFrame({"i": ii, "j": jj, "p": pp})
         # partial ⊕ inside the Arrow batch (LruCacheIterator's pre-sum) —
         # MUST match the outer ⊕ or min/max would pre-combine wrongly
         return out.groupby(["i", "j"], as_index=False).agg(p=("p", plus))
@@ -80,7 +82,7 @@ def table_mult_rowop(
     partial = (
         at.groupBy("k")
         .cogroup(bt.groupBy("k"))
-        .applyInPandas(_pair, schema="i long, j long, p double")
+        .applyInPandas(_pair, schema=f"i {i_type}, j {j_type}, p double")
     )
     agg = {"sum": F.sum, "min": F.min, "max": F.max}[plus]
     out = partial.groupBy(F.col("i").alias("src"), F.col("j").alias("dst")).agg(
