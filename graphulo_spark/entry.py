@@ -33,7 +33,7 @@ from graphulo_spark.algorithms import (
     pagerank,
 )
 from graphulo_spark.algorithms.bfs import single_bfs
-from graphulo_spark.algorithms.nmf import nmf
+from graphulo_spark.algorithms.nmf import assign_topics, nmf
 from graphulo_spark.algorithms.scc import scc
 from graphulo_spark.algorithms.triangles import edge_support, triangle_closers
 from graphulo_spark.algorithms.ktruss import ktruss, ktruss_edge
@@ -319,12 +319,16 @@ GROUP BY a.src"""
     )
 
 
-def _nmf_sql(iters: int = 2, eps: float = 1e-9, seed: int = 42) -> str:
+def _nmf_sql(iters: int = 2, eps: float = 1e-9, seed: int = 42, project_new: bool = False) -> str:
     """k=2 NMF unrolled in SQL: the 2×2 gram inverse is closed-form, the init
     is the engine's portable md5 family, every CTE is one (FᵀA)-style
     join+aggregate — the same update rule as algorithms.nmf (H then W per
     iteration, onlyPos clamp). Rounded to 4 decimals (quantum ≫ the ~1e-13
-    FP divergence between LAPACK and closed-form 2×2 inversion)."""
+    FP divergence between LAPACK and closed-form 2×2 inversion).
+
+    project_new=True appends the doHT_HHTinv step (assign_topics): freeze the
+    final H and project the odd-src half of the edge table — the "new
+    documents" — through one W-update against it."""
 
     def init_col(s: int) -> str:
         return (
@@ -352,13 +356,13 @@ def _nmf_sql(iters: int = 2, eps: float = 1e-9, seed: int = 42) -> str:
                (g00 + {eps!r}) * (g11 + {eps!r}) - g01 * g01 AS d FROM g{tag}))"""
         )
 
-    def solve(tag: str, out: str, a_id: str, a_other: str, fac: str) -> None:
+    def solve(tag: str, out: str, a_id: str, a_other: str, fac: str, table: str = "copurchase") -> None:
         ctes.append(
             f"""{out} AS MATERIALIZED (
   SELECT a.{a_id} AS id,
          GREATEST(0.0, MAX(i.i00) * SUM(a.w * f.f0) + MAX(i.i01) * SUM(a.w * f.f1)) AS f0,
          GREATEST(0.0, MAX(i.i01) * SUM(a.w * f.f0) + MAX(i.i11) * SUM(a.w * f.f1)) AS f1
-  FROM copurchase a JOIN {fac} f ON a.{a_other} = f.id CROSS JOIN i{tag} i
+  FROM {table} a JOIN {fac} f ON a.{a_other} = f.id CROSS JOIN i{tag} i
   GROUP BY a.{a_id})"""
         )
 
@@ -369,10 +373,16 @@ def _nmf_sql(iters: int = 2, eps: float = 1e-9, seed: int = 42) -> str:
         gram_inv(f"h{t}", f"h{t}")
         solve(f"h{t}", f"w{t}", "src", "dst", f"h{t}")
         prev_w = f"w{t}"
+    out = f"w{iters}"
+    if project_new:
+        ctes.append(_mat("newdocs AS (SELECT * FROM copurchase WHERE src % 2 = 1)"))
+        gram_inv("p", f"h{iters}")
+        solve("p", "wnew", "src", "dst", f"h{iters}", table="newdocs")
+        out = "wnew"
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT id, ROUND(f0, 4) AS f0, ROUND(f1, 4) AS f1 FROM w{iters}"
+        + f"\nSELECT id, ROUND(f0, 4) AS f0, ROUND(f1, 4) AS f1 FROM {out}"
     )
 
 
@@ -542,6 +552,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nmf_w_factor"] = lambda spark, sf: (
         nmf(spark, copurchase_edges(spark, sf), k=2, max_iter=2, init="md5")[0]
         .select("id", F.round("f0", 4).alias("f0"), F.round("f1", 4).alias("f1"))
+    )
+    # doHT_HHTinv: freeze the trained H and project "new documents" (the
+    # odd-src half of the edge table) through one W-update against it
+    q["assign_topics"] = lambda spark, sf: (
+        assign_topics(
+            copurchase_edges(spark, sf).filter(F.pmod("src", F.lit(2)) == 1),
+            nmf(spark, copurchase_edges(spark, sf), k=2, max_iter=2, init="md5")[1],
+            2,
+        ).select("id", F.round("f0", 4).alias("f0"), F.round("f1", 4).alias("f1"))
     )
     q["pagerank_5iter"] = lambda spark, sf: (
         pagerank(spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5)
@@ -874,6 +893,7 @@ WHERE a.src < b.src OR (a.src = b.src AND a.dst < b.dst)"""
     o["triangle_count_adjedge"] = o["triangle_count"]
     o["scc_transitions"] = _scc_sql(levels=5)
     o["nmf_w_factor"] = _nmf_sql(iters=2)
+    o["assign_topics"] = _nmf_sql(iters=2, project_new=True)
     o["pagerank_5iter"] = _pagerank_sql(5)
     # strategy-independent oracle: all four physical plans must hash-match it
     o["pagerank_5iter_plain"] = _pagerank_sql(5)
