@@ -66,6 +66,7 @@ from graphulo_spark.pipeline.similarity import (
     bray_curtis_pairs,
     cosine_topk,
     embedding_near_dup,
+    ivf_topk,
 )
 from graphulo_spark.pipeline.text import doc_fingerprint, lang_id, quality_score, token_count
 
@@ -386,6 +387,74 @@ def _nmf_sql(iters: int = 2, eps: float = 1e-9, seed: int = 42, project_new: boo
     )
 
 
+def _ivf_sql(n_cells: int = 8, iters: int = 2, n_probe: int = 3, k: int = 5, seed: int = 42) -> str:
+    """Mirror of similarity.ivf_centroids + ivf_topk. Determinism contract
+    with the Spark side: seed pick = k smallest md5(vec_id:seed); centroid
+    components rounded to 1e-6 after every Lloyd mean (kills float-summation-
+    order noise before any argmax); assignment tie → lowest cell; probe
+    ranking tie → highest cell (reverse(array_sort) semantics); cosines
+    folded in index order on both engines."""
+
+    def cos(ve: str, ce: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({ve}) + 1), i -> {ve}[i] * {ce}[i]))"
+            f" / (sqrt(list_sum(list_transform({ve}, x -> x * x)))"
+            f" * sqrt(list_sum(list_transform({ce}, x -> x * x))))"
+        )
+
+    def assign(out: str, cents: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.cent')} DESC, c.cell ASC) AS rn
+    FROM emb e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    ctes = [
+        "emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) - 1 AS INT) AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS cent
+  FROM emb
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}')) <= {n_cells})""",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(assign(f"a{t}", prev))
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT cell, u.i - 1 AS dim, AVG(v[u.i]) AS m
+  FROM a{t}, UNNEST(range(1, len(v) + 1)) AS u(i) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT p.cell, COALESCE(n.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN (
+    SELECT cell, list_transform(list(m ORDER BY dim), x -> ROUND(x, 6)) AS cent
+    FROM m{t} GROUP BY cell) n USING (cell))"""
+        )
+        prev = f"c{t}"
+    ctes.append(assign("base", prev))
+    ctes.append("q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM emb ORDER BY vec_id LIMIT 5)")
+    ctes.append(
+        f"""qc AS MATERIALIZED (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos('q.qv', 'c.cent')} DESC, c.cell DESC) AS rn
+    FROM q CROSS JOIN {prev} c) WHERE rn <= {n_probe})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, ROUND({cos('qc.qv', 'b.v')}, 6) AS cosine
+FROM base b JOIN qc ON b.cell = qc.cell AND b.vec_id != qc.query_id
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY ROUND({cos('qc.qv', 'b.v')}, 6) DESC, vec_id ASC) <= {k}"""
+    )
+
+
 _KNUTH = 2654435761
 
 
@@ -638,6 +707,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dup"] = lambda spark, sf: embedding_near_dup(
         spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.35, n_planes=8, n_tables=3
     )
+
+    def _ivf_query(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return ivf_topk(
+            emb, emb.orderBy("vec_id").limit(5), k=5, n_cells=8, n_probe=3, iters=2
+        )
+
+    q["ivf_topk"] = _ivf_query
     q["bray_curtis"] = lambda spark, sf: (
         bray_curtis_pairs(
             spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -985,6 +1062,7 @@ scored AS (
 SELECT query_id, vec_id, cosine FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5"""
     o["ann_candidates"] = _ann_sql(n_planes=8, n_tables=3)
+    o["ivf_topk"] = _ivf_sql(n_cells=8, iters=2, n_probe=3, k=5)
     # embedding-cosine near-dup: same LSH candidate construction, thresholded,
     # then each duplicate maps to its smallest qualifying neighbor. Threshold
     # 0.35 is non-vacuous on the synthetic embeddings (max pairwise cosine at

@@ -122,6 +122,145 @@ def ann_candidates(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k seed vectors (rank-by-md5 pick,
+    engine-portable) refined by ``iters`` Lloyd steps under cosine assignment.
+    Returns the k×d centroid list (driver-side — k·d doubles, broadcast as
+    plan literals by the callers).
+
+    Scale shape: each Lloyd step is one assignment pass (k cosine expressions
+    per row, JVM-side) + one per-cell/per-dim mean (posexplode → groupBy
+    (cell, dim) — shuffles k·d partial sums per partition, never vectors).
+    Centroid components are rounded to 1e-6 so downstream cell assignment is
+    robust to float summation order (and SQL-oracle-reproducible).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    d_dim = len(e.select("v").first()["v"])
+    # seed pick: k smallest md5(vec_id:seed) — orderBy().limit() plans as
+    # TakeOrderedAndProject (distributed top-k), NOT a single-partition sort
+    h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}")))
+    cents = [
+        [round(x, 6) for x in r["v"]]
+        for r in e.withColumn("_h", h).orderBy("_h").limit(n_cells).collect()
+    ]
+    for _ in range(iters):
+        assigned = _ivf_assign(e, cents)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep their old centroid
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["cell"], [0.0] * d_dim)[r["dim"]] = r["m"]
+        for cell, vec in acc.items():
+            new[cell] = [round(x, 6) for x in vec]
+        cents = new
+    return cents
+
+
+def _cos_to_lit(v, cent: list[float]):
+    """cosine(v, centroid) with the centroid as plan literals."""
+    dot = None
+    for i, c in enumerate(cent):
+        term = F.element_at(v, i + 1) * F.lit(c)
+        dot = term if dot is None else dot + term
+    nc = sum(c * c for c in cent) ** 0.5 or 1.0
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (nv * F.lit(nc))
+
+
+def _ivf_assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """[vec_id, v, cell]: nearest centroid by cosine (ties → lowest cell)."""
+    best_cell = F.lit(0)
+    best_cos = _cos_to_lit(F.col("v"), cents[0])
+    for i, c in enumerate(cents[1:], start=1):
+        cos_i = _cos_to_lit(F.col("v"), c)
+        better = cos_i > best_cos
+        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best_cos = F.when(better, cos_i).otherwise(best_cos)
+    return e.select("vec_id", "v", best_cell.alias("cell"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k by cosine: [query_id, vec_id, cosine].
+
+    The scale path the LSH tables complement: base vectors are bucketed once
+    by nearest centroid (the inverted file); each query scans only its
+    ``n_probe`` nearest cells and reranks exactly. Recall is the IVF recall —
+    a neighbor whose cell the query does not probe is missed; raise n_probe
+    toward n_cells to converge on the exact scan. Candidate volume is
+    ~n_probe/n_cells of brute force; the cell join is an equi-join on cell id
+    (broadcast for the query side), so no all-pairs crossJoin at any |base|.
+
+    Plan-size note: centroids enter the plan as literals (k·d doubles in the
+    assignment expression — fine to ~64 cells). For the thousands-of-cells
+    regime, assign via a broadcast join against an exploded (cell, dim,
+    component) centroid table or an Arrow-batch pandas UDF instead; the
+    inverted-file shape downstream is unchanged.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_cells=n_cells, iters=iters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    base = _ivf_assign(e, cents).select("vec_id", F.col("v").alias("bv"), "cell")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probes = [
+        F.struct(_cos_to_lit(F.col("qv"), c).alias("cos"), F.lit(i).alias("cell"))
+        for i, c in enumerate(cents)
+    ]
+    qcells = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, n_probe)
+        ).alias("pr"),
+    ).select("query_id", "qv", F.col("pr.cell").alias("cell"))
+
+    scored = (
+        base.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("bv")), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     *,

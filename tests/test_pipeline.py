@@ -136,6 +136,22 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert recall >= 0.5  # 4 planes on clustered embeddings: most neighbors share a bucket
 
 
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF with a wide probe must recover most exact top-3 neighbors; probing
+    ALL cells must equal the exact scan (IVF converges to brute force)."""
+    from graphulo_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200).cache()
+    q = emb.orderBy("vec_id").limit(5)
+    brute = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=3).collect()}
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in ivf_topk(emb, q, k=3, n_cells=8, n_probe=4, iters=1).collect()}
+    assert len(ivf & brute) / len(brute) >= 0.6  # clustered embeddings: most hit
+    full = {(r["query_id"], r["vec_id"])
+            for r in ivf_topk(emb, q, k=3, n_cells=8, n_probe=8, iters=1).collect()}
+    assert full == brute
+
+
 def test_embedding_near_dup_representatives(spark):
     # 1 ≈ 2 ≈ 3 (near-identical cluster), 4 orthogonal. With few planes every
     # cluster pair shares a bucket; reps must be the smallest qualifying
