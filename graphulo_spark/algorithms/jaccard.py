@@ -16,11 +16,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphulo_spark.linalg.edges import degrees, symmetrize
+from graphulo_spark.linalg.spmv import DEFAULT_BROADCAST_THRESHOLD
 
 
-def jaccard(edges: DataFrame) -> DataFrame:
+def jaccard(
+    edges: DataFrame,
+    *,
+    vertex_count: int | None = None,
+    broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+) -> DataFrame:
     """DataFrame[src, dst, jaccard] for all pairs src<dst with ≥1 common
-    neighbor (simple graph semantics: weights ignored)."""
+    neighbor (simple graph semantics: weights ignored).
+
+    The degree table is O(|V|) rows, so it is broadcast only when the caller
+    proves it small (``vertex_count`` ≤ ``broadcast_threshold``) — the same
+    never-guess-broadcast gate as spmv's 'auto' strategy. Unknown size →
+    plain join; AQE still converts to broadcast at runtime when the built
+    side is genuinely small, without risking a 10⁹-row driver collect.
+    (JaccardDegreeApply.java:66-80 holds the whole degree map in RAM only
+    because Accumulo iterators have no distributed-join alternative.)
+    """
     sym = (
         symmetrize(edges.select("src", "dst", F.lit(1.0).alias("w")), combine="min")
         .select("src", "dst")
@@ -36,11 +51,13 @@ def jaccard(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("_c"))
     )
     deg = degrees(sym, by="src")  # |N(v)| on the simple symmetrized graph
+    if vertex_count is not None and vertex_count <= broadcast_threshold:
+        deg = F.broadcast(deg)
     du = deg.select(F.col("v").alias("u"), F.col("deg").alias("_du"))
     dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("_dv"))
     return (
-        common.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        common.join(du, "u")
+        .join(dv, "v")
         .select(
             F.col("u").alias("src"),
             F.col("v").alias("dst"),

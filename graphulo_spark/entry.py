@@ -396,10 +396,12 @@ def _ivf_sql(n_cells: int = 8, iters: int = 2, n_probe: int = 3, k: int = 5, see
     folded in index order on both engines."""
 
     def cos(ve: str, ce: str) -> str:
+        # norms floored at 1e-300 (same floor as similarity._cos_to_lit) so a
+        # zero vector scores cosine 0 on both engines instead of 0/0
         return (
             f"list_sum(list_transform(range(1, len({ve}) + 1), i -> {ve}[i] * {ce}[i]))"
-            f" / (sqrt(list_sum(list_transform({ve}, x -> x * x)))"
-            f" * sqrt(list_sum(list_transform({ce}, x -> x * x))))"
+            f" / (greatest(sqrt(list_sum(list_transform({ve}, x -> x * x))), 1e-300)"
+            f" * greatest(sqrt(list_sum(list_transform({ce}, x -> x * x))), 1e-300))"
         )
 
     def assign(out: str, cents: str) -> str:

@@ -172,13 +172,21 @@ def ivf_centroids(
 
 
 def _cos_to_lit(v, cent: list[float]):
-    """cosine(v, centroid) with the centroid as plan literals."""
+    """cosine(v, centroid) with the centroid as plan literals.
+
+    Both norms are floored at 1e-300 (the SQL oracle applies the same floor)
+    so a zero vector gets cosine 0 on both engines instead of NULL here vs
+    engine-specific 0/0 there — a NULL cosine would silently fall to cell 0
+    in _ivf_assign's argmax.
+    """
     dot = None
     for i, c in enumerate(cent):
         term = F.element_at(v, i + 1) * F.lit(c)
         dot = term if dot is None else dot + term
-    nc = sum(c * c for c in cent) ** 0.5 or 1.0
-    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = max(sum(c * c for c in cent) ** 0.5, 1e-300)
+    nv = F.greatest(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)), F.lit(1e-300)
+    )
     return dot / (nv * F.lit(nc))
 
 
@@ -292,10 +300,14 @@ def embedding_near_dup(
     pairs = ann_candidates(
         embeddings, n_planes=n_planes, n_tables=n_tables, id_col=id_col, vec_col=vec_col
     ).filter(F.col("cosine") >= threshold)
-    reps = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    # explicit aliases: reps derives from pairs, so an unaliased
+    # reps["id_b"] == pairs["id_b"] is a trivially-true self-reference that
+    # only works via Spark's self-join disambiguation heuristic
+    reps = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of")).alias("r")
+    p = pairs.alias("p")
     return reps.join(
-        pairs, (reps["id_b"] == pairs["id_b"]) & (reps["dup_of"] == pairs["id_a"])
-    ).select(reps["id_b"].alias("vec_id"), "dup_of", "cosine")
+        p, (F.col("r.id_b") == F.col("p.id_b")) & (F.col("r.dup_of") == F.col("p.id_a"))
+    ).select(F.col("r.id_b").alias("vec_id"), F.col("r.dup_of").alias("dup_of"), F.col("p.cosine").alias("cosine"))
 
 
 def bray_curtis_pairs(

@@ -171,3 +171,25 @@ def test_materialize_keeps_stats_flat(spark):
     got = jump_rounds(materialize(base), 4, materialize)
     want = jump_rounds(base.localCheckpoint(), 4, lambda d: d.localCheckpoint())
     assert got == want
+
+
+def test_jaccard_degree_broadcast_is_gated(spark):
+    """The degree table is O(|V|) rows: it must be broadcast only when the
+    caller proves it small via vertex_count — never unconditionally. With
+    auto-broadcast disabled, any BroadcastHashJoin in the plan can come only
+    from an explicit hint, so the unhinted path must have none."""
+    from graphulo_spark.algorithms import jaccard
+
+    e = spark.createDataFrame([(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)], "src long, dst long, w double")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = _plan(jaccard(e))  # unknown |V| -> no broadcast hint
+        # the wedge self-join + two degree joins: none may broadcast unhinted
+        assert "BroadcastHashJoin" not in unhinted
+        hinted = _plan(jaccard(e, vertex_count=3))  # proven small -> hinted
+        assert "BroadcastHashJoin" in hinted
+        big = _plan(jaccard(e, vertex_count=10_000_000))  # above threshold
+        assert "BroadcastHashJoin" not in big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
