@@ -34,7 +34,7 @@ UDF over CSR-blocked partitions) — right up to ~10^8-10^9 vertices even at
 
 from __future__ import annotations
 
-from contextlib import nullcontext
+from contextlib import contextmanager, nullcontext
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -49,6 +49,37 @@ def _normalized_edges(edges: DataFrame) -> DataFrame:
     """nw(src,dst) = w / Σ_dst w(src,·) — row-stochastic transition weights."""
     out_w = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
     return edges.join(out_w, "src").select("src", "dst", (F.col("w") / F.col("_ow")).alias("w"))
+
+
+@contextmanager
+def _stable_partition_count(spark: SparkSession, pinned: bool):
+    """Pin AQE partition coalescing off for the duration of a superstep loop.
+
+    The resident edge layout holds the O(|E|) side at exactly
+    ``spark.sql.shuffle.partitions`` hash partitions on the gather key; each
+    superstep's rank state comes out of its groupBy already hash-partitioned
+    on the SAME key and count, and materialize() now carries that
+    partitioning across the superstep boundary — so EnsureRequirements can
+    elide the O(|V|) rank-vector exchange entirely. AQE coalescing defeats
+    this: it merges the (per-query small-looking) rank shuffle into fewer
+    partitions, the counts stop matching, and the join re-inserts the
+    exchange every superstep. Coalescing is a per-query heuristic; an
+    iterative engine wants one STABLE partitioning across the whole loop, so
+    the loop pins it off and restores the session value after. (At real
+    scale the rank shuffle exceeds the advisory size and is never coalesced
+    — this pin is about keeping the small-scale plan shape identical to the
+    at-scale one, not about overriding AQE where it would matter.)
+    """
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    if not pinned:
+        yield
+        return
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def pagerank(
@@ -71,6 +102,36 @@ def pagerank(
     metrics, lineage) and ``resume=True`` continues from the latest complete
     superstep. ``history`` (optional list) collects per-superstep stats.
     """
+    with _stable_partition_count(spark, strategy == "plain" and edge_layout == "resident"):
+        return _pagerank_loop(
+            spark,
+            edges,
+            alpha=alpha,
+            tol=tol,
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+            resume=resume,
+            strategy=strategy,
+            edge_layout=edge_layout,
+            history=history,
+            watch=watch,
+        )
+
+
+def _pagerank_loop(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    resume: bool,
+    strategy: str,
+    edge_layout: str,
+    history: list[dict[str, Any]] | None,
+    watch: "Any | None",
+) -> DataFrame:
     ckpt = None
     if checkpoint_dir:
         # input fingerprint in the params hash: a resume against a different

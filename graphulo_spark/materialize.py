@@ -1,4 +1,5 @@
-"""Superstep state truncation that keeps Catalyst planning O(1) per round.
+"""Superstep state truncation that keeps Catalyst planning O(1) per round
+AND keeps the state's physical partitioning visible to the next round.
 
 Every iterative algorithm here materializes its loop state each round so the
 next round plans against a flat input (Graphulo's temp-table ping-pong,
@@ -19,42 +20,100 @@ checkpointed RDD with fresh, unknown statistics. Unknown is also the honest
 estimate — loop state sizes aren't knowable from the origin plan — and AQE
 re-plans join strategies from true runtime sizes anyway, so nothing is lost.
 
-The rebuild uses ``SparkSession.internalCreateDataFrame`` (JVM-side only, no
-data movement; ``private[sql]`` in Scala but accessible — Scala access
-modifiers don't survive into the JVM calling convention py4j uses). If the
-API is unavailable (Spark Connect, future versions), we fall back to the
-plain localCheckpoint: still correct, just exposed to the stats blowup.
+What the rebuild now KEEPS (round 4) is ``outputPartitioning``: a PageRank /
+CC / label-prop superstep ends in a groupBy or join keyed on the vertex id,
+so its output is already hash-partitioned on exactly the key the NEXT
+superstep's join needs. ``Dataset.localCheckpoint`` records that partitioning
+in the LogicalRDD (so EnsureRequirements can elide the next round's
+exchange); the round-3 stats-free rebuild built a bare LogicalRDD with
+``UnknownPartitioning`` and silently re-shuffled O(|V|) state rows every
+superstep. Copying the checkpoint's (already attribute-rewritten)
+partitioning and ordering into the stats-free LogicalRDD removes that
+exchange wherever the loop's partition count is stable — the dominant
+per-superstep shuffle-byte term in the resident-edge-layout plan.
+
+The rebuild constructs ``LogicalRDD`` directly over the checkpointed RDD
+(JVM-side only, no data movement; the class is ``private[sql]`` in Scala but
+accessible — Scala access modifiers don't survive into the JVM calling
+convention py4j uses). If the internals are unavailable (Spark Connect,
+future versions), we fall back to the plain localCheckpoint: still correct,
+still partitioning-preserving, just exposed to the stats blowup.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_ASPE = "org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec"
+
+
+def _partitioning(df: DataFrame, jplan):
+    """Best-known outputPartitioning for the checkpointed plan ``jplan``.
+
+    ``LogicalRDD.fromDataset`` copies ``executedPlan.outputPartitioning`` —
+    but under AQE the executed plan is an AdaptiveSparkPlanExec, whose
+    ``outputPartitioning`` is the SparkPlan default UnknownPartitioning even
+    after execution, so every adaptive query checkpoints as "unknown" and the
+    next superstep re-shuffles state that is already correctly partitioned.
+    The final physical plan knows the real answer; when the checkpoint came
+    through unknown, read ``finalPhysicalPlan().outputPartitioning()`` and
+    use it verbatim — valid only when the final plan's output attributes are
+    exprId-identical (positionally) to the checkpoint's, which is the normal
+    case (exprIds survive optimization); on any mismatch keep Unknown, which
+    is exactly today's behavior (correct, one avoidable exchange)."""
+    part = jplan.outputPartitioning()
+    if not part.toString().startswith("UnknownPartitioning"):
+        return part
+    ep = df._jdf.queryExecution().executedPlan()
+    if ep.getClass().getName() != _ASPE:
+        return part
+    final = ep.finalPhysicalPlan()
+    f_out, l_out = final.output(), jplan.output()
+    if f_out.length() != l_out.length():
+        return part
+    for i in range(f_out.length()):
+        if f_out.apply(i).exprId().id() != l_out.apply(i).exprId().id():
+            return part
+    return final.outputPartitioning()
+
 
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly materialize ``df`` (localCheckpoint) and return a DataFrame
-    over the checkpointed data whose plan carries NO inherited statistics.
+    over the checkpointed data whose plan carries NO inherited statistics
+    but DOES carry the data's physical partitioning and ordering.
 
-    Order matters: we wrap the plan's execution RDD in a stats-free
-    LogicalRDD FIRST and localCheckpoint the wrapper. localCheckpoint then
-    performs the row-copying materialization itself (``toRdd`` iterators
-    reuse UnsafeRow buffers — caching them without the checkpoint's internal
-    ``.map(_.copy())`` silently corrupts any downstream operator that
-    buffers rows), and the origin stats it preserves are the wrapper's flat
-    defaults, not the compounding join estimates."""
-    # The try covers ONLY the JVM reflection (absent on Spark Connect or
-    # after API drift) — the eager localCheckpoint runs outside it, so a
-    # real execution failure (executor OOM, corrupt input) surfaces once
-    # instead of being silently retried through the fallback.
+    The eager localCheckpoint runs first and unguarded — it performs the
+    row-copying materialization (``toRdd`` iterators reuse UnsafeRow
+    buffers; caching without the checkpoint's internal ``.map(_.copy())``
+    silently corrupts any downstream operator that buffers rows) and, being
+    outside the try, a real execution failure (executor OOM, corrupt input)
+    surfaces once instead of being silently retried through the fallback.
+    The try covers ONLY the JVM reflection that strips the origin statistics
+    out of the checkpoint's LogicalRDD while copying its output attributes,
+    RDD, partitioning, and ordering verbatim (all already rewritten to the
+    checkpoint's attribute ids by ``LogicalRDD.fromDataset``)."""
+    ck = df.localCheckpoint()
     try:
-        jdf = df._jdf
-        jspark = df.sparkSession._jsparkSession
-        fresh = DataFrame(
-            jspark.internalCreateDataFrame(
-                jdf.queryExecution().toRdd(), jdf.schema(), False
-            ),
-            df.sparkSession,
+        session = df.sparkSession
+        jvm = session._jvm
+        jplan = ck._jdf.queryExecution().analyzed()
+        if jplan.getClass().getName() != "org.apache.spark.sql.execution.LogicalRDD":
+            return ck
+        none = jvm.scala.Option.empty()
+        stripped = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            jplan.output(),
+            jplan.rdd(),
+            _partitioning(df, jplan),
+            jplan.outputOrdering(),
+            jplan.isStreaming(),
+            jplan.stream(),
+            session._jsparkSession,
+            none,  # originStats: the compounding-BigInteger carrier
+            none,  # originConstraints
         )
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            session._jsparkSession, stripped
+        )
+        return DataFrame(jdf, session)
     except Exception:  # Spark Connect / API drift: correctness over speed
-        fresh = df
-    return fresh.localCheckpoint()
+        return ck

@@ -193,3 +193,47 @@ def test_jaccard_degree_broadcast_is_gated(spark):
         assert "BroadcastHashJoin" not in big
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_materialize_preserves_partitioning_and_elides_superstep_exchange(spark):
+    """Round-4 shuffle-bytes fix: materialize() must carry the state's
+    hash-partitioning across the superstep boundary (even under AQE, whose
+    AdaptiveSparkPlanExec reports UnknownPartitioning), and with the
+    partition count pinned the next superstep's SHJ must need NO exchange on
+    the rank-vector side — the vector shuffle was the dominant avoidable
+    per-superstep byte mover in the resident layout."""
+    from graphulo_spark.linalg.spmv import spmv
+    from graphulo_spark.materialize import materialize
+
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        e = spark.createDataFrame(
+            [(i % 7, (i * 3) % 7, 1.0) for i in range(40)], "src long, dst long, w double"
+        ).repartition(n_parts, "src").cache()
+        e.count()
+        vec = materialize(
+            e.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("x"))
+        )
+        part = vec._jdf.queryExecution().analyzed().outputPartitioning().toString()
+        assert "hashpartitioning(v" in part, part
+
+        # the partitioning must be visible on the RDD scan itself …
+        p = _plan(spmv(e, vec, strategy="plain", drop_zeros=False))
+        scan_args = [
+            l for l in p.splitlines()
+            if "localCheckpoint" in l and "hashpartitioning(v#" in l
+        ]
+        assert scan_args, p
+        # … and the only exchange EnsureRequirements inserts is the agg
+        # partials on _to. The cached edge plan's REPARTITION_BY_NUM
+        # exchanges appear in explain but are already materialized; a
+        # re-inserted vector-side shuffle would be ENSURE_REQUIREMENTS on v.
+        ensure = [
+            l for l in p.splitlines()
+            if "ENSURE_REQUIREMENTS" in l
+        ]
+        assert len(ensure) == 1 and "hashpartitioning(_to" in ensure[0], p
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
