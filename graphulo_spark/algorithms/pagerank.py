@@ -53,22 +53,30 @@ def _normalized_edges(edges: DataFrame) -> DataFrame:
 
 @contextmanager
 def _stable_partition_count(spark: SparkSession, pinned: bool):
-    """Pin AQE partition coalescing off for the duration of a superstep loop.
+    """Optionally pin AQE partition coalescing off for a superstep loop.
 
     The resident edge layout holds the O(|E|) side at exactly
     ``spark.sql.shuffle.partitions`` hash partitions on the gather key; each
     superstep's rank state comes out of its groupBy already hash-partitioned
-    on the SAME key and count, and materialize() now carries that
-    partitioning across the superstep boundary — so EnsureRequirements can
-    elide the O(|V|) rank-vector exchange entirely. AQE coalescing defeats
-    this: it merges the (per-query small-looking) rank shuffle into fewer
-    partitions, the counts stop matching, and the join re-inserts the
-    exchange every superstep. Coalescing is a per-query heuristic; an
-    iterative engine wants one STABLE partitioning across the whole loop, so
-    the loop pins it off and restores the session value after. (At real
-    scale the rank shuffle exceeds the advisory size and is never coalesced
-    — this pin is about keeping the small-scale plan shape identical to the
-    at-scale one, not about overriding AQE where it would matter.)
+    on the SAME key and count, and materialize() carries that partitioning
+    across the superstep boundary — so EnsureRequirements can elide the
+    O(|V|) rank-vector exchange entirely. AQE coalescing can defeat this by
+    merging the rank shuffle into fewer partitions (counts stop matching,
+    exchange reinserted).
+
+    Pinning coalescing off guarantees the elision — but measured on this
+    class of box it is NOT a default win: an interleaved 3×3 A/B
+    (1M-vertex / 11.9M-edge transcript graph, local[8]) put the pinned loop
+    at median ~3.5 s/superstep vs ~2.1 s unpinned, because the dominant
+    per-superstep shuffle is the aggregation partials (4.6M rows / 105 MB —
+    map-count × |V| duplicate groups), not the 1M-row / 23 MB vector
+    exchange, and pinning also denies AQE coalescing on every small
+    intermediate shuffle in the dangling/no-in-edge sub-plans. At matching
+    partition counts the elision happens anyway (the rank shuffle exceeds
+    the advisory size well before coalescing would merge it — plan-asserted
+    in tests/test_plans.py). Default: declare partitioning honestly, let
+    AQE keep its freedom; callers chasing a fixed loop-wide layout can opt
+    in via ``pagerank(stable_partitions=True)``.
     """
     key = "spark.sql.adaptive.coalescePartitions.enabled"
     if not pinned:
@@ -95,14 +103,21 @@ def pagerank(
     edge_layout: str = "resident",
     history: list[dict[str, Any]] | None = None,
     watch: "Any | None" = None,
+    stable_partitions: bool = False,
 ) -> DataFrame:
     """Returns DataFrame[v: long, rank: double]; Σ rank = 1.
 
     With ``checkpoint_dir`` every superstep persists (rank state, partition
     metrics, lineage) and ``resume=True`` continues from the latest complete
     superstep. ``history`` (optional list) collects per-superstep stats.
+    ``stable_partitions=True`` pins AQE partition coalescing off for the
+    loop so the superstep partitioning is loop-stable and the rank-vector
+    exchange is always elided — see ``_stable_partition_count`` for the
+    measured tradeoff that makes this opt-in.
     """
-    with _stable_partition_count(spark, strategy == "plain" and edge_layout == "resident"):
+    with _stable_partition_count(
+        spark, stable_partitions and strategy == "plain" and edge_layout == "resident"
+    ):
         return _pagerank_loop(
             spark,
             edges,

@@ -103,10 +103,14 @@ def stream_induce_edges_stateful(
     stream (union them downstream when wanted).
 
     Assumes turns of a conversation arrive in turn_idx order across batches
-    (the input's stable-(conv_id, turn_idx) premise); within a batch any
-    order is fine (sorted here). Emits entity-STRING pairs; callers resolve
-    vertex ids with the same xxhash64 the batch path uses (keeping the hash
-    JVM-side — the Python worker never needs to reimplement it).
+    (the input's stable-(conv_id, turn_idx) premise); a violation (a batch
+    whose smallest turn_idx is <= the state's last seen turn_idx) raises
+    instead of silently emitting wrong boundary edges — the premise failing
+    means the upstream file ordering broke, and a loud task failure beats a
+    corrupted edge table. Within a batch any order is fine (sorted here).
+    Emits entity-STRING pairs; callers resolve vertex ids with the same
+    xxhash64 the batch path uses (keeping the hash JVM-side — the Python
+    worker never needs to reimplement it).
     """
     import pandas as pd  # locals — the stateful func ships to Python workers
 
@@ -119,24 +123,33 @@ def stream_induce_edges_stateful(
         if not chunks:
             return
         pdf = pd.concat(chunks).sort_values("turn_idx")
+        if not len(pdf):
+            return
         ent = pdf["role"].where(pdf["tool"].isna(), pdf["role"] + "/" + pdf["tool"])
-        ents = ent.tolist()
-        idxs = pdf["turn_idx"].tolist()
-        prev_ent = None
+        prev_idx = prev_ent = None
         if state.exists:
-            _, prev_ent = state.get
-        srcs, dsts = [], []
-        for e in ents:
-            if prev_ent is not None:
-                srcs.append(prev_ent)
-                dsts.append(e)
-            prev_ent = e
-        if ents:
-            state.update((int(idxs[-1]), ents[-1]))
+            prev_idx, prev_ent = state.get
+        first_idx = int(pdf["turn_idx"].iloc[0])
+        if prev_idx is not None and first_idx <= prev_idx:
+            raise ValueError(
+                f"out-of-order turns for conv {conv_id!r}: batch starts at "
+                f"turn_idx {first_idx} but state already saw {prev_idx} — "
+                "the stable-(conv_id, turn_idx) arrival premise is violated"
+            )
+        # edge pairing is exactly a lag: src = previous turn's entity. The
+        # state's last entity seeds the first row (the cross-batch boundary
+        # edge); the conversation's very first turn has no predecessor and
+        # its NaN src row is dropped.
+        src = ent.shift(1)
+        if prev_ent is not None:
+            src.iloc[0] = prev_ent
+        state.update((int(pdf["turn_idx"].iloc[-1]), ent.iloc[-1]))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        if srcs:
-            yield pd.DataFrame({"conv_id": conv_id, "src_ent": srcs, "dst_ent": dsts})
+        out = pd.DataFrame({"conv_id": conv_id, "src_ent": src, "dst_ent": ent})
+        out = out[out["src_ent"].notna()]
+        if len(out):
+            yield out
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -70,6 +70,26 @@ def test_stateful_stream_links_across_batches(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_stateful_stream_rejects_out_of_order_batches(spark, tmp_path):
+    """The stateful inducer's correctness premise is turn_idx-ordered arrival
+    across batches. When that breaks (late file with earlier turns), it must
+    fail the query loudly — silently pairing a turn-9 state with a turn-0
+    batch would emit wrong boundary edges."""
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    t = generate_transcripts(spark, 10).cache()
+    # write the LATER half first: batch 1 seeds state at turn_idx 9, batch 2
+    # arrives starting at turn_idx 0 — premise violated
+    t.filter("turn_idx >= 5").coalesce(1).write.mode("append").parquet(inp)
+    t.filter("turn_idx < 5").coalesce(1).write.mode("append").parquet(inp)
+
+    q = stream_induce_edges_stateful(spark, inp, outp, ckpt, max_files_per_trigger=1)
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(240)
+        if q.exception() is not None:  # surface async failure modes too
+            raise q.exception()
+    assert "out-of-order" in str(ei.value)
+
+
 def test_windowed_counts_plan_is_streaming(spark, tmp_path):
     inp = str(tmp_path / "in")
     generate_transcripts(spark, 20).coalesce(1).write.parquet(inp)
