@@ -202,6 +202,69 @@ def _ivf_assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
     return e.select("vec_id", "v", best_cell.alias("cell"))
 
 
+def _centroid_table(spark, cents: list[list[float]]) -> DataFrame:
+    """[cell, cv, nc]: the centroid list as a (broadcastable) table. Norms
+    are precomputed driver-side with the SAME python arithmetic the literal
+    path bakes into its expressions, so the two assignment paths agree
+    bitwise."""
+    rows = [
+        (i, [float(x) for x in c], max(sum(x * x for x in c) ** 0.5, 1e-300))
+        for i, c in enumerate(cents)
+    ]
+    return spark.createDataFrame(rows, "cell int, cv array<double>, nc double")
+
+
+def _ivf_cos_join(df: DataFrame, cents_df: DataFrame, vec: str = "v") -> DataFrame:
+    """df[.., vec] × broadcast centroids → one row per (input row, cell) with
+    the cosine. The join-path centroid comparison: a BroadcastNestedLoopJoin
+    (k rows, no shuffle) with the dot product as zip_with/aggregate — the
+    same left-to-right summation order as the literal expression chain, so
+    cosines are bitwise-equal across the two paths."""
+    dot = F.aggregate(
+        F.zip_with(F.col(vec), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.greatest(
+        F.sqrt(F.aggregate(F.col(vec), F.lit(0.0), lambda acc, x: acc + x * x)), F.lit(1e-300)
+    )
+    return df.crossJoin(F.broadcast(cents_df)).withColumn("cos", dot / (nv * F.col("nc")))
+
+
+def _ivf_assign_join(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """[vec_id, v, cell] like ``_ivf_assign``, but via a broadcast centroid
+    JOIN instead of k inline expressions — the thousands-of-cells regime,
+    where k·d literal terms would blow up codegen. One O(|rows|) shuffle:
+    the per-vector argmax is a ``max_by`` over the broadcast-scored rows,
+    and map-side partial aggregation collapses the k rows per vector to one
+    before the exchange (the vector rides in the agg buffer, so no second
+    join against ``e``). Ties break to the lowest cell via the (cos, -cell)
+    ordering struct, matching the literal path's strict-greater rule.
+    Cross-checked bitwise against the literal path in tests."""
+    scored = _ivf_cos_join(e, _centroid_table(e.sparkSession, cents))
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("v"), F.col("cell")),
+            F.struct(F.col("cos").alias("cos"), (-F.col("cell")).alias("negcell")),
+        ).alias("b")
+    )
+    return best.select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+
+
+def _ivf_probe_join(q: DataFrame, cents_df: DataFrame, n_probe: int) -> DataFrame:
+    """[query_id, qv, cell]: each query's ``n_probe`` nearest cells via the
+    broadcast-join scoring path. Ordering matches the literal path's
+    ``reverse(array_sort(...))`` exactly — cosine descending, then cell id
+    DESCENDING on ties — so the probed cell sets are identical."""
+    scored = _ivf_cos_join(q, cents_df, vec="qv")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cell").desc())
+    return (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -212,6 +275,7 @@ def ivf_topk(
     iters: int = 2,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    assign: str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -225,34 +289,48 @@ def ivf_topk(
     ~n_probe/n_cells of brute force; the cell join is an equi-join on cell id
     (broadcast for the query side), so no all-pairs crossJoin at any |base|.
 
-    Plan-size note: centroids enter the plan as literals (k·d doubles in the
-    assignment expression — fine to ~64 cells). For the thousands-of-cells
-    regime, assign via a broadcast join against an exploded (cell, dim,
-    component) centroid table or an Arrow-batch pandas UDF instead; the
-    inverted-file shape downstream is unchanged.
+    ``assign`` picks the centroid-comparison strategy; both produce bitwise-
+    identical cells/probes (same summation order, same tie-breaks —
+    cross-checked in tests):
+
+    - ``"literal"``: centroids enter the plan as literals (k·d doubles in
+      one codegen'd expression — no shuffle, no extra join; best to ~64
+      cells, beyond which plan size and codegen blow up).
+    - ``"join"``: a broadcast centroid table scored via
+      BroadcastNestedLoopJoin + one map-side-combined ``max_by`` shuffle —
+      the thousands-of-cells regime.
+    - ``"auto"`` (default): literal when ``len(centroids) <= 64``.
     """
     cents = centroids if centroids is not None else ivf_centroids(
         embeddings, n_cells=n_cells, iters=iters, seed=seed, id_col=id_col, vec_col=vec_col
     )
+    if assign == "auto":
+        assign = "literal" if len(cents) <= 64 else "join"
+    if assign not in ("literal", "join"):
+        raise ValueError(f"assign must be literal|join|auto, got {assign!r}")
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    base = _ivf_assign(e, cents).select("vec_id", F.col("v").alias("bv"), "cell")
-
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    probes = [
-        F.struct(_cos_to_lit(F.col("qv"), c).alias("cos"), F.lit(i).alias("cell"))
-        for i, c in enumerate(cents)
-    ]
-    qcells = q.select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, n_probe)
-        ).alias("pr"),
-    ).select("query_id", "qv", F.col("pr.cell").alias("cell"))
+    if assign == "join":
+        cents_df = _centroid_table(embeddings.sparkSession, cents)
+        base = _ivf_assign_join(e, cents).select("vec_id", F.col("v").alias("bv"), "cell")
+        qcells = _ivf_probe_join(q, cents_df, n_probe)
+    else:
+        base = _ivf_assign(e, cents).select("vec_id", F.col("v").alias("bv"), "cell")
+        probes = [
+            F.struct(_cos_to_lit(F.col("qv"), c).alias("cos"), F.lit(i).alias("cell"))
+            for i, c in enumerate(cents)
+        ]
+        qcells = q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, n_probe)
+            ).alias("pr"),
+        ).select("query_id", "qv", F.col("pr.cell").alias("cell"))
 
     scored = (
         base.join(F.broadcast(qcells), "cell")

@@ -152,6 +152,30 @@ def test_ivf_topk_recall_vs_brute(spark):
     assert full == brute
 
 
+def test_ivf_assign_join_equals_literal(spark):
+    """The broadcast-join assignment path (thousands-of-cells regime) must be
+    bitwise-identical to the literal-expression path: same cells for every
+    base vector, same probed cells, same final top-k rows."""
+    from graphulo_spark.pipeline.similarity import (
+        _ivf_assign,
+        _ivf_assign_join,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200).cache()
+    cents = ivf_centroids(emb, n_cells=8, iters=1)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    lit_cells = {r["vec_id"]: r["cell"] for r in _ivf_assign(e, cents).collect()}
+    join_cells = {r["vec_id"]: r["cell"] for r in _ivf_assign_join(e, cents).collect()}
+    assert lit_cells == join_cells
+    q = emb.orderBy("vec_id").limit(5)
+    kw = dict(k=3, n_cells=8, n_probe=3, iters=1)
+    lit = sorted(map(tuple, ivf_topk(emb, q, assign="literal", **kw).collect()))
+    jn = sorted(map(tuple, ivf_topk(emb, q, assign="join", **kw).collect()))
+    assert lit == jn and len(lit) == 15
+
+
 def test_embedding_near_dup_representatives(spark):
     # 1 ≈ 2 ≈ 3 (near-identical cluster), 4 orthogonal. With few planes every
     # cluster pair shares a bucket; reps must be the smallest qualifying
@@ -205,6 +229,44 @@ def test_multimodal_real_image_decode(spark):
     rows = decode_and_featurize(media, fake=False, feat_dim=4).collect()
     assert len(rows) == 1 and len(rows[0]["feat"]) == 4
     assert all(0.0 <= v <= 1.0 for v in rows[0]["feat"])
+
+
+def test_multimodal_real_decode_stdlib_codecs(spark):
+    """REAL (non-fake) decode in this codec-less container: genuine PPM/BMP
+    images through the pure-numpy decoders and genuine PCM WAV audio through
+    stdlib ``wave`` — inside the Arrow-batched mapInPandas path, results
+    checked against a local decode of the same payloads."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from graphulo_spark.pipeline.multimodal import (
+        _decode_bmp_numpy,
+        _decode_ppm_numpy,
+        _decode_wav_stdlib,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, 9)
+    rows = decode_and_featurize(media, fake=False, feat_dim=4).collect()
+    assert len(rows) == 9
+    by_id = {r["media_id"]: r for r in rows}
+    # recompute locally from the same deterministic payloads
+    local = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in by_id.items():
+        buf = local[mid]
+        if buf[:2] == b"P6":
+            want = _decode_ppm_numpy(buf, 4)
+        elif buf[:2] == b"BM":
+            want = _decode_bmp_numpy(buf, 4)
+        else:
+            assert buf[:4] == b"RIFF"
+            want = _decode_wav_stdlib(buf, 4)
+        assert np.allclose(r["feat"], want), mid
+    # audio RMS of a pure sine ≈ amplitude/sqrt(2)
+    wavs = [r for r in rows if r["kind"] == "audio"]
+    assert wavs and all(abs(v - 0.5 / np.sqrt(2)) < 0.05 for r in wavs for v in r["feat"])
 
 
 def test_sample_frames(spark):

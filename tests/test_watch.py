@@ -96,3 +96,22 @@ def test_scc_reports_pass_and_round_counters(spark):
     assert r["counters"]["fwd_round"] >= 1
     assert r["counters"]["bwd_round"] >= 1
     assert r["spans"]["outer_pass"]["count"] == r["counters"]["outer_passes"]
+
+
+def test_spans_record_shuffle_bytes(spark):
+    """VERDICT r3 #8: spans carry executor-side truth — stages/tasks run and
+    shuffle bytes moved while the span was open — so a report explains where
+    bytes went. PageRank supersteps shuffle aggregation partials, so the
+    superstep span must show nonzero shuffle traffic."""
+    from graphulo_spark.algorithms import pagerank
+
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50, 1.0) for i in range(200)], "src long, dst long, w double"
+    )
+    w = Watch(spark)
+    pagerank(spark, df, tol=0.0, max_iter=3, watch=w)
+    s = w.report()["spans"]["superstep"]
+    assert s["count"] == 3
+    assert s["tasks"] > 0 and s["stages"] > 0
+    assert s["shuffle_write_bytes"] > 0
+    assert s["shuffle_read_bytes"] > 0
