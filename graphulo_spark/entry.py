@@ -710,13 +710,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.35, n_planes=8, n_tables=3
     )
 
-    def _ivf_query(spark, sf):
+    def _ivf_query(spark, sf, assign="auto"):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return ivf_topk(
-            emb, emb.orderBy("vec_id").limit(5), k=5, n_cells=8, n_probe=3, iters=2
+            emb, emb.orderBy("vec_id").limit(5), k=5, n_cells=8, n_probe=3, iters=2,
+            assign=assign,
         )
 
     q["ivf_topk"] = _ivf_query
+    # same oracle as ivf_topk: the broadcast-join assignment path is bitwise-
+    # identical to the literal path, so the driver certifies both against one
+    # SQL derivation (the reference's several-implementations-one-answer
+    # discipline, e.g. its five kTruss variants)
+    q["ivf_topk_join"] = lambda spark, sf: _ivf_query(spark, sf, assign="join")
     q["bray_curtis"] = lambda spark, sf: (
         bray_curtis_pairs(
             spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -1065,6 +1071,9 @@ SELECT query_id, vec_id, cosine FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5"""
     o["ann_candidates"] = _ann_sql(n_planes=8, n_tables=3)
     o["ivf_topk"] = _ivf_sql(n_cells=8, iters=2, n_probe=3, k=5)
+    # the join-assignment path answers the SAME oracle (bitwise-equal cells
+    # and probes by construction, cross-checked in tests)
+    o["ivf_topk_join"] = o["ivf_topk"]
     # embedding-cosine near-dup: same LSH candidate construction, thresholded,
     # then each duplicate maps to its smallest qualifying neighbor. Threshold
     # 0.35 is non-vacuous on the synthetic embeddings (max pairwise cosine at

@@ -153,8 +153,12 @@ def ivf_centroids(
         [round(x, 6) for x in r["v"]]
         for r in e.withColumn("_h", h).orderBy("_h").limit(n_cells).collect()
     ]
+    # Lloyd assignment uses the same literal-vs-join switch as ivf_topk:
+    # beyond ~64 cells the k·d literal terms blow up codegen, so refine via
+    # the broadcast-join scorer (bitwise-identical assignments).
+    assigner = _ivf_assign if n_cells <= 64 else _ivf_assign_join
     for _ in range(iters):
-        assigned = _ivf_assign(e, cents)
+        assigned = assigner(e, cents)
         means = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")

@@ -174,6 +174,13 @@ def test_ivf_assign_join_equals_literal(spark):
     lit = sorted(map(tuple, ivf_topk(emb, q, assign="literal", **kw).collect()))
     jn = sorted(map(tuple, ivf_topk(emb, q, assign="join", **kw).collect()))
     assert lit == jn and len(lit) == 15
+    # the regime the join path exists for: >64 cells (auto switches to join,
+    # including inside ivf_centroids' Lloyd refinement) — equality must hold
+    # there too, with real tie pressure from many near-duplicate centroids
+    big = [[round(x, 6) for x in r["v"]] for r in e.limit(66).collect()]
+    lit66 = {r["vec_id"]: r["cell"] for r in _ivf_assign(e, big).collect()}
+    join66 = {r["vec_id"]: r["cell"] for r in _ivf_assign_join(e, big).collect()}
+    assert lit66 == join66
 
 
 def test_embedding_near_dup_representatives(spark):

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from graphulo_spark.sources import d4m_row_predicate, parse_d4m_ranges, read_triple_files
 from graphulo_spark.sources.d4m import ranges_to_d4m
@@ -54,3 +55,59 @@ def test_d4m_predicate_filters(spark):
     df = spark.createDataFrame([(x,) for x in "abcdefg"], "k string")
     keep = {r["k"] for r in df.filter(d4m_row_predicate("k", "a,:,c,f,")).collect()}
     assert keep == {"a", "b", "c", "f"}
+
+
+# ---------------- transcript source (Iceberg seam + parquet fallback) --------
+
+
+def test_load_transcripts_parquet_path(spark, tmp_path):
+    """Parquet-path mode: contract schema enforced, values identical to the
+    generated table, downstream edge induction unchanged."""
+    from graphulo_spark.sources import load_transcripts
+    from graphulo_spark.transcripts import generate_transcripts, induce_edges
+
+    t = generate_transcripts(spark, 20)
+    p = str(tmp_path / "transcripts.parquet")
+    t.write.parquet(p)
+    loaded = load_transcripts(spark, p)
+    assert [f.name for f in loaded.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert dict((f.name, f.dataType.simpleString()) for f in loaded.schema.fields)[
+        "turn_idx"] == "int"
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    assert sorted(map(tuple, loaded.select(cols).collect())) == sorted(
+        map(tuple, t.select(cols).collect()))
+    assert sorted(map(tuple, induce_edges(loaded).collect())) == sorted(
+        map(tuple, induce_edges(t).collect()))
+
+
+def test_load_transcripts_catalog_table(spark):
+    """Table-identifier mode goes through spark.read.table — the Iceberg/
+    catalog path (exercised here via a registered view; the Iceberg runtime
+    resolves real catalog tables through the identical call)."""
+    from graphulo_spark.sources import load_transcripts, transcripts_fingerprint
+    from graphulo_spark.transcripts import generate_transcripts
+
+    t = generate_transcripts(spark, 5)
+    # extra column on the source side must be pruned by the contract select
+    t.withColumn("extra", F.lit(1)).createOrReplaceTempView("transcripts_view")
+    loaded = load_transcripts(spark, "transcripts_view")
+    assert loaded.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert loaded.count() == t.count()
+    # a non-Iceberg table has no .snapshots metadata table -> fingerprint None
+    assert transcripts_fingerprint(spark, "transcripts_view") is None
+    assert transcripts_fingerprint(spark, "/some/path.parquet") is None
+
+
+def test_load_transcripts_refuses_bad_inputs(spark, tmp_path):
+    from graphulo_spark.sources import load_transcripts
+    from graphulo_spark.transcripts import generate_transcripts
+
+    p = str(tmp_path / "t.parquet")
+    generate_transcripts(spark, 3).write.parquet(p)
+    with pytest.raises(ValueError, match="snapshot pinning"):
+        load_transcripts(spark, p, snapshot_id=123)
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(3).write.parquet(bad)
+    with pytest.raises(ValueError, match="missing contract columns"):
+        load_transcripts(spark, bad)
