@@ -195,15 +195,25 @@ def _cos_to_lit(v, cent: list[float]):
 
 
 def _ivf_assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """[vec_id, v, cell]: nearest centroid by cosine (ties → lowest cell)."""
-    best_cell = F.lit(0)
-    best_cos = _cos_to_lit(F.col("v"), cents[0])
-    for i, c in enumerate(cents[1:], start=1):
-        cos_i = _cos_to_lit(F.col("v"), c)
-        better = cos_i > best_cos
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_cos = F.when(better, cos_i).otherwise(best_cos)
-    return e.select("vec_id", "v", best_cell.alias("cell"))
+    """[vec_id, v, cell]: nearest centroid by cosine (ties → lowest cell).
+
+    Linear-size expression: one (cos, -cell) struct per centroid, argmax via
+    a single array_sort — NOT a chained when() argmax. The chain embeds the
+    running best TWICE per step (once in the comparison, once in the
+    otherwise), so its Catalyst tree doubles per cell and OOMs the driver
+    near ~25 cells; this form is O(k·d) nodes and works to the documented
+    64-cell auto threshold (codegen falls back to interpreted projection
+    past the JVM method limit, still one JVM-side pass)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _cos_to_lit(F.col("v"), c).alias("cos"), F.lit(-i).alias("negcell")
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), -1)
+    return e.select("vec_id", "v", (-best["negcell"]).cast("int").alias("cell"))
 
 
 def _centroid_table(spark, cents: list[list[float]]) -> DataFrame:
