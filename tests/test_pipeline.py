@@ -183,6 +183,23 @@ def test_ivf_assign_join_equals_literal(spark):
     assert lit66 == join66
 
 
+def test_ivf_auto_many_cells_end_to_end(spark):
+    """n_cells > 64: auto must route assignment (and ivf_centroids' Lloyd
+    step) through the join path, deterministically, end to end — the regime
+    where a literal-expression plan would blow up."""
+    from graphulo_spark.pipeline.similarity import ivf_centroids, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(150).cache()
+    cents = ivf_centroids(emb, n_cells=66, iters=1)
+    assert len(cents) == 66 and all(len(c) == 64 for c in cents)
+    assert cents == ivf_centroids(emb, n_cells=66, iters=1)  # deterministic
+    q = emb.orderBy("vec_id").limit(3)
+    kw = dict(k=3, n_cells=66, n_probe=8, iters=1)
+    auto = sorted(map(tuple, ivf_topk(emb, q, assign="auto", **kw).collect()))
+    join = sorted(map(tuple, ivf_topk(emb, q, assign="join", **kw).collect()))
+    assert auto == join and len(auto) == 9
+
+
 def test_embedding_near_dup_representatives(spark):
     # 1 ≈ 2 ≈ 3 (near-identical cluster), 4 orthogonal. With few planes every
     # cluster pair shares a bucket; reps must be the smallest qualifying
