@@ -237,3 +237,21 @@ def test_materialize_preserves_partitioning_and_elides_superstep_exchange(spark)
         assert len(ensure) == 1 and "hashpartitioning(_to" in ensure[0], p
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+
+
+def test_ivf_join_assignment_plan_shape(spark):
+    """The join-path IVF assignment must plan as a BroadcastNestedLoopJoin
+    against the (tiny) centroid table — no shuffle to score cells — with the
+    per-vector argmax as the ONLY requirement-inserted exchange (map-side
+    partial aggregation collapses the k scored rows per vector first)."""
+    from graphulo_spark.pipeline.similarity import _ivf_assign_join
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0]) for i in range(40)], "vec_id long, v array<double>"
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    p = _plan(_ivf_assign_join(e, cents))
+    assert "BroadcastNestedLoopJoin" in p
+    ensure = [l for l in p.splitlines() if "ENSURE_REQUIREMENTS" in l]
+    assert len(ensure) == 1 and "hashpartitioning(vec_id" in ensure[0], p
+    assert "partial_max_by" in p  # map-side combine before the exchange
