@@ -68,7 +68,13 @@ from graphulo_spark.pipeline.similarity import (
     embedding_near_dup,
     ivf_topk,
 )
-from graphulo_spark.pipeline.text import doc_fingerprint, lang_id, quality_score, token_count
+from graphulo_spark.pipeline.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    token_count_bpeish,
+)
 
 # degree low-pass for the Jaccard query: ≤ 90 keeps roughly the lower half of
 # the sf0.01 copurchase degree distribution (mean sym degree ≈ 117), so the
@@ -694,6 +700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark.read.parquet(f"{sf}/documents.parquet")
     )
     q["token_count"] = lambda spark, sf: token_count(spark.read.parquet(f"{sf}/documents.parquet"))
+    q["token_count_bpeish"] = lambda spark, sf: token_count_bpeish(
+        spark.read.parquet(f"{sf}/documents.parquet")
+    )
     q["text_quality"] = lambda spark, sf: quality_score(spark.read.parquet(f"{sf}/documents.parquet"))
     q["lang_id"] = lambda spark, sf: lang_id(spark.read.parquet(f"{sf}/documents.parquet"))
     q["cosine_topk"] = lambda spark, sf: (
@@ -1053,6 +1062,12 @@ SELECT doc_id AS id,
 FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)"""
     o["token_count"] = """
 SELECT doc_id AS id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+FROM documents"""
+    # same alternation as pipeline.text.BPEISH — lookahead-free on purpose so
+    # Java regex (Spark) and RE2 (DuckDB) count identical matches
+    o["token_count_bpeish"] = """
+SELECT doc_id AS id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_pieces
 FROM documents"""
     o["lang_id"] = _lang_id_sql()
     o["text_quality"] = _text_quality_sql()

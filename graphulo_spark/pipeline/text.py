@@ -22,10 +22,32 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 
 def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """[id, n_tokens]: whitespace tokenization (BPE-ish regex variant below)."""
+    """[id, n_tokens]: whitespace tokenization (BPE-ish regex variant:
+    ``token_count_bpeish``)."""
     return docs.select(
         F.col(id_col).alias("id"),
         F.size(F.split(F.trim(F.col(text_col)), WS)).alias("n_tokens"),
+    )
+
+
+# GPT-2-style pre-tokenizer split, minus its trailing-whitespace lookahead so
+# the SAME pattern runs under Java regex (Spark) and RE2 (DuckDB oracle):
+# letter runs | digit runs | one non-alnum mark per match.
+BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpeish(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[id, n_pieces]: BPE-style pre-tokenization count — what a training
+    budgeter uses when whitespace counts are too coarse ("don't" = 3 pieces,
+    "2026-08" = 3). Counts pre-tokens, not merges: a vocab-free upper bound
+    on BPE pieces; the true merged count is one broadcast vocab join away
+    and does not change the plan shape (still a single JVM regex pass per
+    row, no Python)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(F.col(text_col), F.lit(BPEISH)).alias("n_pieces"),
     )
 
 

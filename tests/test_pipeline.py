@@ -329,3 +329,20 @@ def test_minhash_xxhash_production_path(dupdocs):
              minhash_lsh_pairs(dupdocs, k=8, bands=4, hash_family="xxhash64").collect()}
     assert pairs.get((1, 2)) == 4
     assert pairs.get((1, 3), 0) >= 1
+
+
+def test_token_count_bpeish_golden(spark):
+    """Pre-tokenizer piece counts on known strings: letter runs, digit runs,
+    one piece per punctuation mark."""
+    from graphulo_spark.pipeline.text import token_count_bpeish
+
+    rows = [
+        (1, "don't"),            # don | ' | t
+        (2, "2026-08-17"),       # 2026 | - | 08 | - | 17
+        (3, "hello world"),      # hello | world
+        (4, ""),                 # nothing
+        (5, "a1b2!"),            # a | 1 | b | 2 | !
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["n_pieces"] for r in token_count_bpeish(df).collect()}
+    assert got == {1: 3, 2: 5, 3: 2, 4: 0, 5: 5}
