@@ -131,14 +131,11 @@ def synthesize_real_media(spark, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_ppm_numpy(buf: bytes, feat_dim: int):
-    """Binary PPM (P6, maxval<=255) → grayscale band means, pure numpy.
+def _rgb_ppm_numpy(buf: bytes):
+    """Binary PPM (P6, maxval<=255) → [h, w, 3] uint8 RGB, pure numpy.
 
     Header: 'P6' <ws> width <ws> height <ws> maxval <single ws> raw RGB.
-    '#' comments allowed between tokens. Luma uses the ITU-R 601-2 weights
-    pillow's 'L' mode uses, so the two real image paths agree on semantics
-    (band means here vs resampled thumbnail there — same scale, same range).
-    """
+    '#' comments allowed between tokens."""
     import numpy as np
 
     pos = 2  # past 'P6'
@@ -158,13 +155,11 @@ def _decode_ppm_numpy(buf: bytes, feat_dim: int):
     if maxval > 255:
         raise ValueError("16-bit PPM not supported by the numpy fallback")
     px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
-    rgb = px.reshape(h, w, 3).astype(np.float64)
-    gray = rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
-    return _gray_band_feat(gray, feat_dim)
+    return px.reshape(h, w, 3)
 
 
-def _decode_bmp_numpy(buf: bytes, feat_dim: int):
-    """Uncompressed 24-bit BMP → grayscale band means, pure numpy.
+def _rgb_bmp_numpy(buf: bytes):
+    """Uncompressed 24-bit BMP → [h, w, 3] uint8 RGB, pure numpy.
 
     Little-endian header: pixel-array offset at byte 10, width/height at
     18/22 (height<0 = top-down), bpp at 28, compression at 30 (must be 0,
@@ -183,11 +178,27 @@ def _decode_bmp_numpy(buf: bytes, feat_dim: int):
     h = abs(h)
     stride = (w * 3 + 3) // 4 * 4
     rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
-    bgr = rows[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
     if not top_down:
         bgr = bgr[::-1]
-    gray = bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
-    return _gray_band_feat(gray, feat_dim)
+    return bgr[:, :, ::-1]  # BGR → RGB
+
+
+def _gray(rgb) -> "object":
+    """[h,w,3] uint8 → float64 luma, the ITU-R 601-2 weights pillow's 'L'
+    mode uses, so the pillow and numpy image paths agree on semantics."""
+    f = rgb.astype("float64")
+    return f[:, :, 0] * 0.299 + f[:, :, 1] * 0.587 + f[:, :, 2] * 0.114
+
+
+def _decode_ppm_numpy(buf: bytes, feat_dim: int):
+    """Binary PPM → grayscale band means (see _rgb_ppm_numpy / _gray)."""
+    return _gray_band_feat(_gray(_rgb_ppm_numpy(buf)), feat_dim)
+
+
+def _decode_bmp_numpy(buf: bytes, feat_dim: int):
+    """Uncompressed 24-bit BMP → grayscale band means (see _rgb_bmp_numpy)."""
+    return _gray_band_feat(_gray(_rgb_bmp_numpy(buf)), feat_dim)
 
 
 def _decode_wav_stdlib(buf: bytes, feat_dim: int):
@@ -303,6 +314,68 @@ def decode_and_featurize(media: DataFrame, *, fake: bool = True, feat_dim: int =
             )
 
     return media.mapInPandas(_run, schema=FEATURES_SCHEMA)
+
+
+def _rgb_any(buf: bytes):
+    """Any image payload → [h, w, 3] uint8 RGB: pillow when importable,
+    zero-dependency numpy decoders for PPM/BMP otherwise."""
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image  # guarded: present only in codec-equipped envs
+
+        return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"), dtype=np.uint8)
+    except ImportError:
+        if buf[:2] == b"P6":
+            return _rgb_ppm_numpy(buf)
+        if buf[:2] == b"BM":
+            return _rgb_bmp_numpy(buf)
+        raise
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """[media_id, width, height, payload]: image rows resized to a fixed
+    width×height and re-encoded as binary PPM (P6).
+
+    The normalization stage of a multimodal training pipeline: whatever
+    format came in (pillow-decodable anywhere; PPM/BMP with zero codec deps),
+    one fixed-shape codec-independent format comes out, so downstream
+    feature extraction never branches on format again. Nearest-neighbor
+    resampling via pure numpy index arithmetic — deterministic across
+    environments (no resampling-kernel drift between pillow versions), no
+    per-pixel Python (two fancy-index gathers per image). Arrow-batched
+    mapInPandas; the binary column is mapped in place, never shuffled."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for buf in pdf["payload"]:
+                rgb = _rgb_any(bytes(buf))
+                src_h, src_w = rgb.shape[0], rgb.shape[1]
+                yi = np.arange(height) * src_h // height
+                xi = np.arange(width) * src_w // width
+                out = np.ascontiguousarray(rgb[yi][:, xi])
+                payloads.append(b"P6\n%d %d\n255\n" % (width, height) + out.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(_run, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -346,3 +346,31 @@ def test_token_count_bpeish_golden(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["id"]: r["n_pieces"] for r in token_count_bpeish(df).collect()}
     assert got == {1: 3, 2: 5, 3: 2, 4: 0, 5: 5}
+
+
+def test_resize_images_real_payloads(spark):
+    """Resize on genuine PPM/BMP payloads in this codec-less container:
+    fixed-shape PPM out, nearest-neighbor pixels exactly reproducible from
+    the source array, deterministic across runs."""
+    import numpy as np
+
+    from graphulo_spark.pipeline.multimodal import (
+        _rgb_any,
+        _rgb_ppm_numpy,
+        resize_images,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, 9)   # 6 images (PPM + BMP), 3 WAVs
+    out = resize_images(media, width=8, height=6).collect()
+    assert len(out) == 6  # audio rows filtered out
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()
+           if r["kind"] == "image"}
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 6)
+        got = _rgb_ppm_numpy(bytes(r["payload"]))
+        assert got.shape == (6, 8, 3)
+        rgb = _rgb_any(src[r["media_id"]])
+        yi = np.arange(6) * rgb.shape[0] // 6
+        xi = np.arange(8) * rgb.shape[1] // 8
+        assert np.array_equal(got, rgb[yi][:, xi])
