@@ -374,3 +374,25 @@ def test_resize_images_real_payloads(spark):
         yi = np.arange(6) * rgb.shape[0] // 6
         xi = np.arange(8) * rgb.shape[1] // 8
         assert np.array_equal(got, rgb[yi][:, xi])
+
+
+def test_token_count_bpeish_matches_python_re(spark):
+    """Third-engine cross-check of the BPEISH pattern (Java regex on Spark,
+    RE2 on the DuckDB oracle, python re here): identical counts on random
+    strings over an adversarial alphabet incl. non-ASCII letters, runs of
+    punctuation, and mixed whitespace."""
+    import random
+    import re
+
+    from graphulo_spark.pipeline.text import BPEISH, token_count_bpeish
+
+    rnd = random.Random(42)
+    alphabet = "abZ19 2,.!?-_ \t\nüé"
+    rows = [
+        (i, "".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 60))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["n_pieces"] for r in token_count_bpeish(df).collect()}
+    want = {i: len(re.findall(BPEISH, s)) for i, s in rows}
+    assert got == want
