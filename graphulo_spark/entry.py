@@ -54,6 +54,7 @@ from graphulo_spark.linalg import (
     top_k_per_row,
 )
 from graphulo_spark.pipeline.dedup import (
+    dedup_keep_set,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -681,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- text / dedup / similarity pipeline --
     q["tfidf"] = _tfidf_query
     q["exact_dedup"] = lambda spark, sf: exact_dedup(spark.read.parquet(f"{sf}/documents.parquet"))
+    q["dedup_keep_set"] = lambda spark, sf: dedup_keep_set(
+        spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.8
+    )
     q["ngram_jaccard_pairs"] = lambda spark, sf: (
         ngram_jaccard_pairs(
             spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.1, max_shingle_freq=None
@@ -1012,6 +1016,48 @@ FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn"""
     o["exact_dedup"] = """
 SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
 FROM documents GROUP BY 1"""
+    # composed two-stage dedup: exact survivors -> LSH candidates -> exact
+    # Jaccard verify >= 0.8 -> drop the larger id of each verified pair
+    o["dedup_keep_set"] = """
+WITH exact_keep AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+docs2 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d JOIN exact_keep USING (doc_id)
+),
+toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t FROM docs2),
+sh AS (
+  SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1) ELSE [] END) AS u(i)
+),
+sigs AS MATERIALIZED (
+  SELECT id,
+         MIN(md5('0:' || shingle)) AS s0, MIN(md5('1:' || shingle)) AS s1,
+         MIN(md5('2:' || shingle)) AS s2, MIN(md5('3:' || shingle)) AS s3,
+         MIN(md5('4:' || shingle)) AS s4, MIN(md5('5:' || shingle)) AS s5,
+         MIN(md5('6:' || shingle)) AS s6, MIN(md5('7:' || shingle)) AS s7
+  FROM sh GROUP BY id),
+bandsx AS MATERIALIZED (
+  SELECT id, 0 AS band, md5(s0 || '|' || s1) AS bh FROM sigs
+  UNION ALL SELECT id, 1, md5(s2 || '|' || s3) FROM sigs
+  UNION ALL SELECT id, 2, md5(s4 || '|' || s5) FROM sigs
+  UNION ALL SELECT id, 3, md5(s6 || '|' || s7) FROM sigs),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandsx a JOIN bandsx b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT cd.id_a, cd.id_b, COUNT(*) AS cnt
+  FROM cand cd
+  JOIN sh a ON a.id = cd.id_a
+  JOIN sh b ON b.id = cd.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT common.id_b
+  FROM common JOIN sizes sa ON common.id_a = sa.id JOIN sizes sb ON common.id_b = sb.id
+  WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.8)
+SELECT doc_id AS keep_id FROM docs2
+WHERE doc_id NOT IN (SELECT id_b FROM verified)"""
     o["ngram_jaccard_pairs"] = f"""
 WITH {SHINGLES_CTE.strip()},
 sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),

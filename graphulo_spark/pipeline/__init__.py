@@ -8,6 +8,7 @@ arithmetic-only so DuckDB oracles can reproduce results bit-for-bit.
 """
 
 from graphulo_spark.pipeline.dedup import (
+    dedup_keep_set,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -24,6 +25,7 @@ from graphulo_spark.pipeline.text import (
 )
 
 __all__ = [
+    "dedup_keep_set",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",

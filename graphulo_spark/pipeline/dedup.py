@@ -227,3 +227,57 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_keep_set(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """[keep_id]: the ids surviving the FULL dedup pass a corpus pipeline
+    runs — the composition of the individual stages this module exposes.
+
+    Stage 1 (exact): one survivor per distinct text, min id wins.
+    Stage 2 (near): among stage-1 survivors, MinHash-LSH proposes candidate
+    pairs (banded bucket join — never all-pairs); each candidate is VERIFIED
+    by exact n-gram Jaccard, and every verified pair (id_a < id_b, jaccard >=
+    threshold) drops the larger id — the greedy 1-hop min-id-winner rule of
+    ``exact_dedup`` / ``embedding_near_dup`` (NOT transitive closure: B
+    dropped for A does not transfer A's ownership of C; see
+    embedding_near_dup for the semantics rationale).
+
+    Scale shape: stage 1 shuffles (digest, id) only. Stage 2's verification
+    joins shingles THROUGH the candidate list, so its cost is O(candidates ×
+    shared shingles), not the all-pairs shingle self-join. Recall contract:
+    a near-dup pair missed by every band survives (the standard LSH trade —
+    raise ``bands`` for recall).
+    """
+    ids = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest"))
+    exact_keep = ids.groupBy("digest").agg(F.min("id").alias("id")).select("id")
+    survivors = docs.join(exact_keep.withColumnRenamed("id", id_col), id_col, "semi")
+    cand = minhash_lsh_pairs(
+        survivors, text_col=text_col, id_col=id_col, k=k, bands=bands, n=n,
+        hash_family=hash_family,
+    ).select("id_a", "id_b")
+    sh = shingles(survivors, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    drops = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .filter(F.col("cnt") / (F.col("sa") + F.col("sb") - F.col("cnt")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return exact_keep.join(drops, "id", "anti").select(F.col("id").alias("keep_id"))

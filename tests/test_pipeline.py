@@ -396,3 +396,22 @@ def test_token_count_bpeish_matches_python_re(spark):
     got = {r["id"]: r["n_pieces"] for r in token_count_bpeish(df).collect()}
     want = {i: len(re.findall(BPEISH, s)) for i, s in rows}
     assert got == want
+
+
+def test_dedup_keep_set_composition(spark, dupdocs):
+    """The composed pass end to end, including its recall contract:
+    - 2 always dies in the exact stage (byte-identical dup of 1).
+    - 4 always survives.
+    - 3 (trigram jaccard vs 1 = 7/9 ~= 0.778) dies only when BOTH the LSH
+      stage proposes the pair AND the verify threshold clears: at the
+      default 2-sig bands the (1,3) pair happens to miss every band (the
+      documented LSH recall trade), so 3 survives even at threshold 0.7;
+      with single-sig bands (bands=k, max recall) it is proposed, verified,
+      and dropped at 0.7 — but kept again at 0.9 (verification rejects)."""
+    from graphulo_spark.pipeline import dedup_keep_set
+
+    assert {r["keep_id"] for r in dedup_keep_set(dupdocs, threshold=0.7).collect()} == {1, 3, 4}
+    assert {r["keep_id"] for r in
+            dedup_keep_set(dupdocs, threshold=0.7, bands=8).collect()} == {1, 4}
+    assert {r["keep_id"] for r in
+            dedup_keep_set(dupdocs, threshold=0.9, bands=8).collect()} == {1, 3, 4}
