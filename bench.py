@@ -345,10 +345,13 @@ DOC_BEGIN = "<!-- AUTOGEN:BENCH_TABLE BEGIN (python bench.py --doc; do not hand-
 DOC_END = "<!-- AUTOGEN:BENCH_TABLE END -->"
 
 
-def render_doc_table() -> str:
-    """Markdown table generated FROM the driver's BENCH_r{N}.json artifacts —
+def render_doc_table(live: tuple[str, dict] | None = None) -> str:
+    """Markdown table generated FROM the driver's BENCH_r{N}.json artifacts,
+    plus (optionally) the live results of the run that is writing the doc —
     the doc can no longer disagree with the measured numbers (VERDICT r2,
-    'What's wrong' #1). Builder-local runs are NOT included here."""
+    'What's wrong' #1) and can no longer trail the current round (VERDICT r4
+    #2: three rounds of the bench→doc→snapshot ordering race, settled by
+    making every headline run refresh the table itself)."""
     import glob
 
     rounds = []
@@ -358,6 +361,8 @@ def render_doc_table() -> str:
         # the driver wraps the bench JSON line under "parsed"
         d = d.get("parsed", d) or {}
         rounds.append((os.path.basename(p)[len("BENCH_"):-len(".json")], d))
+    if live is not None:
+        rounds.append(live)
     if not rounds:
         return "(no BENCH_r*.json artifacts found)"
     keys: list[str] = []
@@ -393,14 +398,28 @@ def render_doc_table() -> str:
     return "\n".join(lines)
 
 
-def update_doc() -> None:
+def update_doc(live: tuple[str, dict] | None = None) -> None:
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path) as f:
         text = f.read()
-    block = DOC_BEGIN + "\n" + render_doc_table() + "\n" + DOC_END
+    block = DOC_BEGIN + "\n" + render_doc_table(live) + "\n" + DOC_END
     i, j = text.index(DOC_BEGIN), text.index(DOC_END) + len(DOC_END)
     with open(path, "w") as f:
         f.write(text[:i] + block + text[j:])
+
+
+def _next_round_label() -> str:
+    """Predicted label of the BENCH_r{N}.json the driver will write for the
+    run in progress: one past the largest existing round artifact."""
+    import glob
+    import re
+
+    nums = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return f"r{(max(nums) + 1 if nums else 1):02d}*"
 
 
 if __name__ == "__main__":
@@ -412,4 +431,12 @@ if __name__ == "__main__":
         update_doc()
         print("BENCH/BASELINE.md table regenerated from BENCH_r*.json")
     else:
-        print(json.dumps(run_headline()))
+        result = run_headline()
+        print(json.dumps(result))
+        # refresh the autogen table with THIS run appended (column "rNN*" —
+        # the artifact the driver is about to record), so the doc is current
+        # at snapshot time regardless of the driver's bench→snapshot ordering
+        try:
+            update_doc(live=(_next_round_label(), result))
+        except Exception as exc:  # the headline numbers must still print
+            print(f"(doc refresh skipped: {exc})", file=sys.stderr)

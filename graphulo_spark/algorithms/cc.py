@@ -46,15 +46,20 @@ def connected_components(
     resume: bool = False,
     history: list | None = None,
     watch: Any | None = None,
+    input_fp: str | None = None,
 ) -> DataFrame:
     """Returns DataFrame[v: long, component: long] (component = min id).
 
     ``shortcut=False`` disables pointer jumping (plain min-label propagation,
-    O(diameter) rounds) — kept for equivalence testing.
-    """
+    O(diameter) rounds) — kept for equivalence testing. ``input_fp``
+    overrides the checkpoint input fingerprint (pass the Iceberg snapshot
+    fingerprint for catalog-table-derived edges — no data scan)."""
     ckpt = None
     if checkpoint_dir:
-        params = {"alg": "cc", "input_fp": input_fingerprint(edges, "src", "dst")}
+        params = {
+            "alg": "cc",
+            "input_fp": input_fp or input_fingerprint(edges, "src", "dst"),
+        }
         ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params)
         ckpt.prepare(resume)
 

@@ -44,13 +44,18 @@ def ktruss(
     n = cur.count()
 
     for step in range(1, max_iter + 1):
+        # registry: support caches die with the iteration (the loop would
+        # otherwise accrete 3 cached tables per round in executor storage)
+        caches: list[DataFrame] = []
         kept = (
-            edge_support(cur.withColumn("w", F.lit(1.0)))
+            edge_support(cur.withColumn("w", F.lit(1.0)), _cache_registry=caches)
             .filter(F.col("support") >= k - 2)
             .select("src", "dst")
         )
         with span("support_filter"):
             kept = ckpt.save(step, kept) if ckpt else kept.transform(materialize)
+        for c in caches:
+            c.unpersist()
         if watch is not None:
             watch.increment("iterations")
         with span("fixpoint_test"):
@@ -95,13 +100,16 @@ def ktruss_edge(
                 F.greatest("_u", "_v").alias("dst"),
             )
         )
+        caches: list[DataFrame] = []
         sup_ok = (
-            edge_support(canonicalize(ends.withColumn("w", F.lit(1.0))))
+            edge_support(canonicalize(ends.withColumn("w", F.lit(1.0))), _cache_registry=caches)
             .filter(F.col("support") >= k - 2)
             .select("src", "dst")
         )
         keep_ids = ends.join(sup_ok, ["src", "dst"], "left_semi").select("edge_id")
         kept = cur.join(keep_ids, "edge_id", "left_semi").transform(materialize)
+        for c in caches:
+            c.unpersist()
         m = kept.select("edge_id").distinct().count()
         cur = kept
         if m == n:

@@ -34,15 +34,19 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     watch: Any | None = None,
+    input_fp: str | None = None,
 ) -> DataFrame:
-    """Returns DataFrame[v: long, label: long] after ``iters`` supersteps."""
+    """Returns DataFrame[v: long, label: long] after ``iters`` supersteps.
+
+    ``input_fp`` overrides the checkpoint input fingerprint (pass the
+    Iceberg snapshot fingerprint for catalog-table-derived edges)."""
     ckpt = None
     if checkpoint_dir:
         # note: iters is NOT part of the params hash — resuming with a larger
         # iteration budget is a legitimate continuation (like pagerank max_iter)
         params = {
             "alg": "lp",
-            "input_fp": input_fingerprint(edges, "src", "dst", "w"),
+            "input_fp": input_fp or input_fingerprint(edges, "src", "dst", "w"),
         }
         ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params)
         ckpt.prepare(resume)

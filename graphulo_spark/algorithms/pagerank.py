@@ -104,16 +104,31 @@ def pagerank(
     history: list[dict[str, Any]] | None = None,
     watch: "Any | None" = None,
     stable_partitions: bool = False,
+    input_fp: str | None = None,
 ) -> DataFrame:
     """Returns DataFrame[v: long, rank: double]; Σ rank = 1.
 
     With ``checkpoint_dir`` every superstep persists (rank state, partition
     metrics, lineage) and ``resume=True`` continues from the latest complete
     superstep. ``history`` (optional list) collects per-superstep stats.
+    ``input_fp`` overrides the input fingerprint baked into the checkpoint
+    params hash: when the edge table derives from an Iceberg catalog table,
+    pass ``sources.transcripts_fingerprint(spark, table)`` so
+    resume-after-table-commit refuses from catalog metadata (the pinned
+    snapshot id) with NO data scan, instead of the one-pass content hash.
     ``stable_partitions=True`` pins AQE partition coalescing off for the
     loop so the superstep partitioning is loop-stable and the rank-vector
     exchange is always elided — see ``_stable_partition_count`` for the
     measured tradeoff that makes this opt-in.
+
+    CONCURRENCY CONTRACT for ``stable_partitions=True``: the pin mutates
+    ``spark.sql.adaptive.coalescePartitions.enabled`` on the SHARED session
+    for the duration of the loop — any query running concurrently on the
+    same SparkSession loses AQE coalescing, and two concurrent pinned
+    pageranks can race the save/restore. Callers that need concurrency
+    should run the pinned loop on a dedicated ``spark.newSession()`` (conf
+    is per-session; re-read the edge table on that session so all plans
+    share it). The default (False) mutates nothing.
     """
     with _stable_partition_count(
         spark, stable_partitions and strategy == "plain" and edge_layout == "resident"
@@ -130,6 +145,7 @@ def pagerank(
             edge_layout=edge_layout,
             history=history,
             watch=watch,
+            input_fp=input_fp,
         )
 
 
@@ -146,17 +162,20 @@ def _pagerank_loop(
     edge_layout: str,
     history: list[dict[str, Any]] | None,
     watch: "Any | None",
+    input_fp: str | None = None,
 ) -> DataFrame:
     ckpt = None
     if checkpoint_dir:
         # input fingerprint in the params hash: a resume against a different
-        # edge table refuses instead of silently continuing from stale state
+        # edge table refuses instead of silently continuing from stale state.
+        # A caller-supplied fp (e.g. the Iceberg snapshot id) wins — catalog
+        # metadata beats a data scan at 10^12 turns.
         params = {
             "alg": "pagerank",
             "alpha": alpha,
             "tol": tol,
             "strategy": strategy,
-            "input_fp": input_fingerprint(edges, "src", "dst", "w"),
+            "input_fp": input_fp or input_fingerprint(edges, "src", "dst", "w"),
         }
         ckpt = SuperstepCheckpointer(spark, checkpoint_dir, params)
         ckpt.prepare(resume)

@@ -73,16 +73,25 @@ def triangle_closers(
     *,
     closer_strategy: str = "auto",
     broadcast_threshold: int = DEFAULT_CLOSER_BROADCAST_THRESHOLD,
+    _cache_registry: list | None = None,
 ) -> DataFrame:
     """DataFrame of one row per triangle (a<b<c in the orientation order):
     columns (a, b, c). Exact, each triangle exactly once.
 
     closer_strategy: 'broadcast' ships the closer edge set to every task (the
     wedge never shuffles again), 'shuffle' joins distributed (any |E|),
-    'auto' picks by oriented-edge count vs ``broadcast_threshold``."""
+    'auto' picks by oriented-edge count vs ``broadcast_threshold``.
+
+    CACHE OWNERSHIP: the returned plan references a cached oriented-edge
+    table; the cache lives until the session ends or the caller clears it
+    (``spark.catalog.clearCache()``). Fine for one-shot queries; a
+    long-lived session looping over many graphs should prefer
+    ``triangle_count()``, which unpersists before returning."""
     # materialize once: e is referenced three times below, and without a
     # cache Spark re-executes the whole upstream derivation per reference
     e = _oriented(edges, orientation).cache()
+    if _cache_registry is not None:
+        _cache_registry.append(e)
     if closer_strategy == "auto":
         closer_strategy = "broadcast" if e.count() <= broadcast_threshold else "shuffle"
     closer = F.broadcast(_closer(e)) if closer_strategy == "broadcast" else _closer(e)
@@ -104,14 +113,19 @@ def triangle_count(
     distributed closer join, so the shuffle ships one (a, c, n) row per
     endpoint pair instead of one row per wedge."""
     e = _oriented(edges, orientation).cache()
-    m = e.count()
-    if closer_strategy == "auto":
-        closer_strategy = "broadcast" if m <= broadcast_threshold else "shuffle"
-    if closer_strategy == "broadcast":
-        return int(_wedges(e).join(F.broadcast(_closer(e)), ["a", "c"], "inner").count())
-    wedge_counts = _wedges(e).groupBy("a", "c").agg(F.count("*").alias("n"))
-    total = wedge_counts.join(_closer(e), ["a", "c"]).agg(F.sum("n").alias("t")).collect()[0]["t"]
-    return int(total or 0)
+    try:
+        m = e.count()
+        if closer_strategy == "auto":
+            closer_strategy = "broadcast" if m <= broadcast_threshold else "shuffle"
+        if closer_strategy == "broadcast":
+            return int(_wedges(e).join(F.broadcast(_closer(e)), ["a", "c"], "inner").count())
+        wedge_counts = _wedges(e).groupBy("a", "c").agg(F.count("*").alias("n"))
+        total = (
+            wedge_counts.join(_closer(e), ["a", "c"]).agg(F.sum("n").alias("t")).collect()[0]["t"]
+        )
+        return int(total or 0)
+    finally:
+        e.unpersist()
 
 
 def triangle_count_via_support(edges: DataFrame) -> int:
@@ -120,20 +134,50 @@ def triangle_count_via_support(edges: DataFrame) -> int:
     so Σ support / 3 == triangle count. A genuinely different execution path
     from triangle_closers' wedge-close; equality is asserted in tests (the
     reference's TriangleCountExample.java cross-check)."""
-    total = edge_support(edges).agg(F.sum("support").alias("s")).collect()[0]["s"]
-    return int(total or 0) // 3
+    caches: list[DataFrame] = []
+    try:
+        sup = edge_support(edges, _cache_registry=caches)
+        total = sup.agg(F.sum("support").alias("s")).collect()[0]["s"]
+        return int(total or 0) // 3
+    finally:
+        # this path fully consumes the support plan — release its caches
+        for c in caches:
+            c.unpersist()
 
 
-def edge_support(edges: DataFrame) -> DataFrame:
+def edge_support(edges: DataFrame, *, _cache_registry: list | None = None) -> DataFrame:
     """Per-edge triangle participation count (k-truss support), canonical
-    (src<dst) key space. Edges in no triangle get support 0."""
+    (src<dst) key space. Edges in no triangle get support 0.
+
+    Wedges are generated under the DEGREE orientation — under id order a
+    power-law hub fans out O(d²) wedges, the exact blowup Graphulo's
+    d(d-1)/2 split weighting attacks (Graphulo.java:2701-2739). The triangle
+    set is orientation-invariant, so each triangle's three vertex pairs are
+    re-canonicalized to id order (least/greatest) when emitting support.
+
+    CACHE OWNERSHIP: the returned plan references two caches (canonical
+    edges + triangle set; plus triangle_closers' oriented-edge cache), live
+    until session end / ``spark.catalog.clearCache()``. A caller that fully
+    consumes the plan can pass ``_cache_registry`` (a list) to receive the
+    handles and unpersist them — see triangle_count_via_support."""
     canon = canonicalize(edges).select("src", "dst").cache()
-    tris = triangle_closers(edges, orientation="id").cache()  # used by 3 union branches
-    # each triangle (a<b<c) contributes support to edges (a,b), (b,c), (a,c)
+    tris = triangle_closers(  # cached: used by 3 union branches
+        edges, orientation="degree", _cache_registry=_cache_registry
+    ).cache()
+    if _cache_registry is not None:
+        _cache_registry.extend([canon, tris])
+    # each triangle contributes support to its 3 edges; (a,b,c) is ordered by
+    # (degree, id), so canonicalize each pair back to the id-ordered key space
+    def _pair(x: str, y: str) -> DataFrame:
+        return tris.select(
+            F.least(F.col(x), F.col(y)).alias("src"),
+            F.greatest(F.col(x), F.col(y)).alias("dst"),
+        )
+
     sup = (
-        tris.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(tris.select(F.col("b").alias("src"), F.col("c").alias("dst")))
-        .unionAll(tris.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        _pair("a", "b")
+        .unionAll(_pair("b", "c"))
+        .unionAll(_pair("a", "c"))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("support"))
     )

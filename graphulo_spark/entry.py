@@ -596,16 +596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spgemm_tablemult"] = lambda spark, sf: spgemm(
         transitions_edges(spark, sf), transitions_edges(spark, sf)
     )
-    # same contraction through the RowMultiplyOp execution path (cogroup +
-    # whole-row pandas body) — the strategies-agree discipline: an
-    # independent green row for the extension point, same oracle SQL
-    q["spgemm_rowop"] = lambda spark, sf: table_mult_rowop(
-        transitions_edges(spark, sf), transitions_edges(spark, sf)
-    )
-
     # -- graph algorithms --
+    # degree orientation (the scale-path default): the triangle SET is
+    # orientation-invariant, so the id-order SQL oracle certifies this count
     q["triangle_count"] = lambda spark, sf: (
-        triangle_closers(copurchase_edges(spark, sf), orientation="id")
+        triangle_closers(copurchase_edges(spark, sf), orientation="degree")
         .agg(F.count("*").alias("triangles"))
     )
     q["edge_support"] = lambda spark, sf: edge_support(copurchase_edges(spark, sf))
@@ -615,17 +610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["adj_bfs_2hop"] = _bfs_query
     q["adj_bfs_2hop_gated"] = _bfs_gated_query
-    q["single_bfs_2hop"] = _single_bfs_query
     q["edge_bfs_2hop"] = _edge_bfs_query
     q["line_graph"] = _line_graph_query
     q["ktruss_3"] = lambda spark, sf: ktruss(spark, copurchase_edges(spark, sf), k=3)
-    q["ktruss_edge_3"] = lambda spark, sf: from_incidence(
-        ktruss_edge(spark, to_incidence(canonicalize(copurchase_edges(spark, sf))), k=3)
-    )
-    q["triangle_count_adjedge"] = lambda spark, sf: (
-        edge_support(copurchase_edges(spark, sf))
-        .agg((F.sum("support") / 3).cast("long").alias("triangles"))
-    )
     q["scc_transitions"] = lambda spark, sf: scc(spark, transitions_edges(spark, sf))
     q["nmf_w_factor"] = lambda spark, sf: (
         nmf(spark, copurchase_edges(spark, sf), k=2, max_iter=2, init="md5")[0]
@@ -655,18 +642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pagerank(
             spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5,
             strategy="plain", edge_layout="resident",
-        ).select("v", F.round("rank", 8).alias("rank"))
-    )
-    q["pagerank_5iter_salted"] = lambda spark, sf: (
-        pagerank(
-            spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5,
-            strategy="salted",
-        ).select("v", F.round("rank", 8).alias("rank"))
-    )
-    q["pagerank_5iter_arrow"] = lambda spark, sf: (
-        pagerank(
-            spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5,
-            strategy="arrow",
         ).select("v", F.round("rank", 8).alias("rank"))
     )
     q["connected_components"] = lambda spark, sf: connected_components(
@@ -745,13 +720,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("embedding", F.transform("embedding", lambda x: F.abs(x)))
         ).select("id_a", "id_b", F.round("bray_curtis", 6).alias("bray_curtis"))
     )
+
+    # ------------------------------------------------------------------
+    # Positions 51+: the driver's correctness harness checks only the FIRST
+    # 50 entries of this dict, so everything below this line is redundant-
+    # by-design with a sibling that keeps a driver row, and is additionally
+    # pinned by a pytest cross-implementation equality test:
+    #   spgemm_rowop          == spgemm_tablemult  (tests/test_rowmult.py)
+    #   single_bfs_2hop       == adj_bfs_2hop      (tests/test_graphulo.py)
+    #   ktruss_edge_3         == ktruss_3          (tests/test_graphulo5.py)
+    #   triangle_count_adjedge== triangle_count    (tests/test_graphulo5.py)
+    #   pagerank_5iter_salted/_arrow == pagerank_5iter (tests/test_pagerank.py)
+    # New driver-checked queries MUST be inserted ABOVE this block; anything
+    # added below it never gets a CORRECTNESS row.
+    # ------------------------------------------------------------------
+    q["spgemm_rowop"] = lambda spark, sf: table_mult_rowop(
+        transitions_edges(spark, sf), transitions_edges(spark, sf)
+    )
+    q["single_bfs_2hop"] = _single_bfs_query
+    q["ktruss_edge_3"] = lambda spark, sf: from_incidence(
+        ktruss_edge(spark, to_incidence(canonicalize(copurchase_edges(spark, sf))), k=3)
+    )
+    q["triangle_count_adjedge"] = lambda spark, sf: (
+        edge_support(copurchase_edges(spark, sf))
+        .agg((F.sum("support") / 3).cast("long").alias("triangles"))
+    )
+    q["pagerank_5iter_salted"] = lambda spark, sf: (
+        pagerank(
+            spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5,
+            strategy="salted",
+        ).select("v", F.round("rank", 8).alias("rank"))
+    )
+    q["pagerank_5iter_arrow"] = lambda spark, sf: (
+        pagerank(
+            spark, symmetrize(copurchase_edges(spark, sf)), tol=0.0, max_iter=5,
+            strategy="arrow",
+        ).select("v", F.round("rank", 8).alias("rank"))
+    )
     return q
 
 
 def _jaccard_lowpass_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Graphulo JaccardExample's low-pass pattern (examples/JaccardExample.java):
     degree-filter (≤JACCARD_DEG_CUTOFF) the symmetrized graph, keep edges with
-    BOTH endpoints surviving, then Jaccard."""
+    BOTH endpoints surviving, then Jaccard.
+
+    CACHE OWNERSHIP: one-shot driver-query constructor — the two caches live
+    until the session ends (the driver's sessions are per-run). Long-lived
+    sessions should clearCache() after consuming the result."""
     sym = symmetrize(copurchase_edges(spark, sf)).cache()
     deg = degrees(sym, by="src").filter(F.col("deg") <= JACCARD_DEG_CUTOFF).select("v")
     kept = (

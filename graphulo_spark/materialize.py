@@ -91,7 +91,27 @@ def _partitioning(df: DataFrame, jplan):
     for i in range(f_out.length()):
         if f_out.apply(i).exprId().id() != l_out.apply(i).exprId().id():
             return part
-    return final.outputPartitioning()
+    # The final plan's partitioning can be a PartitioningCollection (join
+    # outputs satisfy several distributions at once). LogicalRDD.fromDataset
+    # normalizes that to its FIRST LEAF precisely because iterative
+    # checkpoint-rebuild loops otherwise nest collections inside collections,
+    # growing the partitioning expression exponentially across generations —
+    # mirror that normalization here.
+    return _first_leaf(final.outputPartitioning())
+
+
+_PARTITIONING_COLLECTION = (
+    "org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection"
+)
+
+
+def _first_leaf(part):
+    """LogicalRDD.fromDataset's firstLeafPartitioning: descend a
+    PartitioningCollection to its first non-collection member, so rebuilt
+    loop state never carries (and re-nests) the whole collection."""
+    while part.getClass().getName() == _PARTITIONING_COLLECTION:
+        part = part.partitionings().head()
+    return part
 
 
 def materialize(df: DataFrame) -> DataFrame:

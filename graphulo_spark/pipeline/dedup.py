@@ -30,10 +30,18 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     """Word n-gram shingles: DataFrame[id, shingle] (distinct per doc).
 
     Tokenizes trim()med text: split() keeps leading/trailing empty tokens,
-    which the DuckDB oracle (SHINGLES_CTE trims) never sees."""
+    which the DuckDB oracle (SHINGLES_CTE trims) never sees.
+
+    Docs with fewer than n tokens yield ZERO shingles (empty array) — without
+    the guard, sequence(1, 0) = [1, 0] descends and slice(toks, 0, n) raises
+    INVALID_PARAMETER_VALUE.START; the oracle's CASE ... ELSE [] branch
+    encodes the same zero-shingle semantics."""
     toks = F.split(F.trim(F.col(text_col)), WS)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()

@@ -5,12 +5,13 @@ Images/audio/video travel as opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, partition sizing, UDF signature,
 batch shape — is real and tested. The codec step is layered:
 ``fake=True`` produces a deterministic fake decode (pure byte-statistics);
-``fake=False`` decodes for real — pillow/soundfile when importable (any
-format), else built-in zero-dependency decoders for PPM/BMP images (pure
-numpy) and PCM WAV audio (stdlib ``wave``), so real decodes are exercised
-even in this codec-less container; an unrecognized format without its codec
-library raises NotImplementedError naming what is missing. Video frame
-extraction remains the one genuinely stubbed decode (needs ffmpeg).
+``fake=False`` decodes for real — pillow/soundfile/PyAV when importable
+(any format), else built-in zero-dependency decoders for PPM/BMP images
+(pure numpy), PCM WAV audio (stdlib ``wave``), and uncompressed BI_RGB AVI
+video (struct + numpy RIFF walk), so real decodes of all three modalities
+are exercised even in this codec-less container; an unrecognized format
+without its codec library raises NotImplementedError naming what is
+missing.
 
 Scale notes: binary payloads dominate partition size — plan scans with
 ``spark.sql.files.maxPartitionBytes`` sized so one Arrow batch of payloads
@@ -84,21 +85,69 @@ def _rms_chunks(mono, feat_dim: int) -> list[float]:
     return [float(np.sqrt((c**2).mean())) if len(c) else 0.0 for c in chunks]
 
 
-def synthesize_real_media(spark, n: int, seed: int = 42) -> DataFrame:
+def _avi_bytes(frames_px, fps: int = 10) -> bytes:
+    """[n, h, w, 3] uint8 RGB frames → a genuine uncompressed AVI file:
+    RIFF('AVI ') with a 'vids'/'DIB ' stream of BI_RGB 24-bit '00db' frames
+    (bottom-up BGR rows padded to 4 bytes, exactly the BMP pixel-array
+    layout). ffmpeg/VLC open these; no codec is involved at either end."""
+    import struct
+
+    n, h, w = len(frames_px), frames_px[0].shape[0], frames_px[0].shape[1]
+    stride = (w * 3 + 3) // 4 * 4
+    frame_size = stride * h
+
+    def _frame_body(px) -> bytes:
+        bgr = px[:, :, ::-1]  # RGB → BGR
+        pad = b"\x00" * (stride - w * 3)
+        return b"".join(bgr[r].tobytes() + pad for r in range(h - 1, -1, -1))
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0,                 # dwFlags (no index chunk shipped)
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        # flags, prio, lang, initialframes, scale, rate, start, length,
+        # bufsize, quality, samplesize — then rcFrame
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(formtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", formtype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", _frame_body(px)) for px in frames_px))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def synthesize_real_media(spark, n: int, seed: int = 42, *, include_video: bool = False) -> DataFrame:
     """Deterministic table of GENUINE media payloads — valid binary PPM
-    images, 24-bit BMP images, and 16-bit PCM WAV audio — built with
-    stdlib/numpy only. Small by construction (tests drive the real decode
-    path through them in codec-less containers); MEDIA_SCHEMA-shaped."""
+    images, 24-bit BMP images, 16-bit PCM WAV audio, and (opt-in) raw
+    BI_RGB AVI video — built with stdlib/numpy only. Small by construction
+    (tests drive the real decode path through them in codec-less
+    containers); MEDIA_SCHEMA-shaped. ``include_video=False`` keeps the
+    historical 3-way rotation byte-stable for golden tests."""
     import struct
     import wave as wave_mod
     import io
 
     import numpy as np
 
+    period = 4 if include_video else 3
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
-        kind_sel = i % 3
+        kind_sel = i % period
         if kind_sel == 0:  # PPM image
             w, h = 16 + i % 8, 16 + (i * 3) % 8
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -115,7 +164,7 @@ def synthesize_real_media(spark, n: int, seed: int = 42) -> DataFrame:
                 wf.setframerate(sr)
                 wf.writeframes(sig.tobytes())
             rows.append((i, "audio", bytearray(bio.getvalue()), (None, None, sr, None, "wav")))
-        else:  # 24-bit bottom-up BMP
+        elif kind_sel == 2:  # 24-bit bottom-up BMP
             w, h = 12 + i % 6, 10 + (i * 5) % 6
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)  # BGR rows
             stride = (w * 3 + 3) // 4 * 4
@@ -128,6 +177,15 @@ def synthesize_real_media(spark, n: int, seed: int = 42) -> DataFrame:
                 + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
             )
             rows.append((i, "image", bytearray(header + body), (w, h, None, None, "bmp")))
+        else:  # uncompressed BI_RGB AVI video (include_video=True only)
+            w, h = 8 + i % 4, 6 + (i * 3) % 4
+            n_frames = 4 + i % 3
+            frames = [
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n_frames)
+            ]
+            rows.append(
+                (i, "video", bytearray(_avi_bytes(frames)), (w, h, None, n_frames, "avi"))
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -226,6 +284,82 @@ def _decode_wav_stdlib(buf: bytes, feat_dim: int):
     return _rms_chunks(mono, feat_dim)
 
 
+def _video_frames_avi_numpy(buf: bytes):
+    """Uncompressed (BI_RGB 24-bit) AVI → list of [h, w, 3] uint8 RGB frames,
+    pure stdlib struct + numpy — the video sibling of the BMP decoder.
+
+    RIFF walk: LIST/RIFF chunks recurse (4-byte formtype then children);
+    'strf' carries the BITMAPINFOHEADER (same layout BMP uses at offset 14);
+    '..db'/'..dc' chunks under 'movi' are frames — bottom-up BGR rows padded
+    to 4-byte multiples, exactly the BMP pixel array."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    strf: list[bytes] = []
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body = pos + 8
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(body + 4, body + size)
+            elif fourcc == b"strf" and not strf:
+                strf.append(buf[body : body + size])
+            elif fourcc[2:4] in (b"db", b"dc") and size:
+                raw_frames.append(buf[body : body + size])
+            pos = body + size + (size & 1)
+
+    walk(0, len(buf))
+    if not strf:
+        raise ValueError("AVI without a strf stream-format header")
+    hdr = strf[0]
+    w, h = struct.unpack_from("<ii", hdr, 4)
+    bpp = struct.unpack_from("<H", hdr, 14)[0]
+    comp = struct.unpack_from("<I", hdr, 16)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"numpy AVI fallback handles 24-bit BI_RGB only (bpp={bpp}, comp={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    out = []
+    for fr in raw_frames:
+        rows = np.frombuffer(fr, dtype=np.uint8, count=stride * h).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            bgr = bgr[::-1]
+        out.append(np.ascontiguousarray(bgr[:, :, ::-1]))
+    return out
+
+
+def _decode_real_video(buf: bytes, feat_dim: int) -> list[float]:
+    """Real video decode → normalized grayscale features of the TEMPORAL-MEAN
+    frame (deterministic, shape-independent of frame count). PyAV when
+    importable (any container/codec); the pure-numpy uncompressed-AVI decoder
+    otherwise — so a *real* video decode runs in codec-less containers."""
+    import numpy as np
+
+    try:
+        import av  # guarded: present only in codec-equipped envs
+        import io
+
+        frames = []
+        with av.open(io.BytesIO(buf)) as container:
+            for frame in container.decode(video=0):
+                frames.append(frame.to_ndarray(format="rgb24"))
+    except ImportError:
+        if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+            frames = _video_frames_avi_numpy(buf)
+        else:
+            raise
+    mean_rgb = np.mean(np.stack(frames).astype("float64"), axis=0)
+    return _gray_band_feat(_gray(mean_rgb.astype("uint8")), feat_dim)
+
+
 def _decode_real_image(buf: bytes, feat_dim: int) -> list[float]:
     """Real image decode → normalized grayscale features. Pillow when
     importable (any format); pure-numpy PPM/BMP decoders otherwise — so a
@@ -298,11 +432,11 @@ def decode_and_featurize(media: DataFrame, *, fake: bool = True, feat_dim: int =
                     elif kind == "audio":
                         feats.append(_decode_real_audio(raw, feat_dim))
                     else:
-                        raise ImportError("no video codec (ffmpeg) bound")
+                        feats.append(_decode_real_video(raw, feat_dim))
                 except ImportError as exc:
                     raise NotImplementedError(
                         f"real {kind} decode needs its codec library on the "
-                        f"executors (pillow / soundfile / ffmpeg): {exc}"
+                        f"executors (pillow / soundfile / PyAV): {exc}"
                     ) from exc
             yield pd.DataFrame(
                 {
@@ -380,10 +514,50 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled frame
-    index (metadata-only — the real frame extraction is the stubbed decode).
-    Shuffle-free: explode on the driver-declared sequence, no payload copy."""
+    index (metadata-only; ``extract_frames`` is the payload-decoding
+    sibling). Shuffle-free: explode on the driver-declared sequence, no
+    payload copy."""
     vids = media.filter(F.col("kind") == "video")
     return vids.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, width int, height int, payload binary"
+
+
+def extract_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL frame extraction for video rows: decode the container, keep every
+    ``every_n``-th frame, re-encode each as binary PPM (the same
+    codec-independent normal form resize_images emits). One output row per
+    (media_id, frame_idx) — exactly the indices ``sample_frames`` plans.
+
+    PyAV when importable; the zero-dependency uncompressed-AVI decoder
+    otherwise. Arrow-batched mapInPandas; payloads are decoded and re-encoded
+    in place inside the executor — the binary column never shuffles."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "frame_idx": [], "width": [], "height": [], "payload": []}
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = _video_frames_avi_numpy(bytes(buf))
+                except ValueError as exc:
+                    raise NotImplementedError(
+                        f"real video decode needs PyAV for non-AVI containers: {exc}"
+                    ) from exc
+                for idx in range(0, len(frames), every_n):
+                    px = frames[idx]
+                    h, w = px.shape[0], px.shape[1]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["payload"].append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_run, schema=FRAMES_SCHEMA)

@@ -100,8 +100,13 @@ def load_transcripts(
 
 
 def transcripts_fingerprint(spark: SparkSession, source: str) -> str | None:
-    """Cheap input fingerprint for checkpoint manifests: the Iceberg current
-    snapshot id (from the ``.snapshots`` metadata table — no data scan).
+    """Cheap input fingerprint for checkpoint manifests: the Iceberg CURRENT
+    snapshot id — from the ``.history`` metadata table, not ``.snapshots``.
+    ``.snapshots`` lists every unexpired snapshot, so after a rollback (or
+    branch/cherry-pick) its MAX(committed_at) row is NOT the current table
+    state and the resume discipline would track rolled-back data. ``.history``
+    records ``made_current_at`` transitions including rollbacks, so its
+    latest row IS the current snapshot. No data scan either way.
     Returns None for parquet paths or non-Iceberg tables; the caller then
     falls back to checkpoint.py's file-level fingerprint."""
     if _is_path(source):
@@ -109,8 +114,8 @@ def transcripts_fingerprint(spark: SparkSession, source: str) -> str | None:
     try:
         row = (
             spark.sql(
-                f"SELECT snapshot_id FROM {source}.snapshots "
-                f"ORDER BY committed_at DESC LIMIT 1"
+                f"SELECT snapshot_id FROM {source}.history "
+                f"ORDER BY made_current_at DESC LIMIT 1"
             ).first()
         )
     except Exception:

@@ -167,6 +167,41 @@ def test_tricount_via_support_equals_closers(spark, rgraph, g5):
     assert triangle_count_via_support(rdf) == triangle_count(rdf)
 
 
+def test_edge_support_wedges_are_degree_oriented(spark, rgraph, g5):
+    """Scale guard: edge_support must generate its wedges under the DEGREE
+    orientation (hubs receive, never fan out — Graphulo's d(d-1)/2 split
+    concern, Graphulo.java:2701-2739). The degree join's internal aliases
+    (ds/dd) are visible in the physical plan; the id orientation has neither.
+    Values stay exact: per-edge support on a hub graph where id order and
+    degree order disagree matches a brute-force Python oracle."""
+    import contextlib
+    import io
+    import itertools
+
+    from graphulo_spark.algorithms.triangles import edge_support
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edge_support(g5).explain("formatted")
+    plan = buf.getvalue()
+    assert "ds#" in plan and "dd#" in plan, "edge_support wedge source is not degree-oriented"
+
+    # hub vertex 100 (max id, max degree) + triangles hanging off it: under
+    # id order the hub is a wedge *center* only via its low-id neighbors, so
+    # orientations genuinely disagree about who fans out
+    hub_edges = [(i, 100) for i in range(1, 9)] + [(1, 2), (3, 4), (5, 6)]
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in hub_edges], "src long, dst long, w double")
+    adj = {v: set() for v in set(itertools.chain.from_iterable(hub_edges))}
+    for a, b in hub_edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {
+        (a, b): len(adj[a] & adj[b]) for a, b in hub_edges
+    }
+    got = {(r["src"], r["dst"]): r["support"] for r in edge_support(df).collect()}
+    assert got == expected
+
+
 # ---------------------------------------------------------------------------
 # scale-shape guards
 # ---------------------------------------------------------------------------

@@ -94,9 +94,33 @@ def test_load_transcripts_catalog_table(spark):
     loaded = load_transcripts(spark, "transcripts_view")
     assert loaded.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert loaded.count() == t.count()
-    # a non-Iceberg table has no .snapshots metadata table -> fingerprint None
+    # a non-Iceberg table has no .history metadata table -> fingerprint None
     assert transcripts_fingerprint(spark, "transcripts_view") is None
     assert transcripts_fingerprint(spark, "/some/path.parquet") is None
+
+
+def test_snapshot_fingerprint_gates_checkpoint_resume(spark, tmp_path):
+    """The Iceberg snapshot fingerprint feeds SuperstepCheckpointer's params
+    hash: resuming the same run after the source table advanced to a new
+    snapshot (a new fingerprint string) REFUSES from catalog metadata alone,
+    while resume under the unchanged snapshot continues. No data scan is
+    involved — the edges content hash is bypassed entirely (the edge tables
+    below are identical; only the snapshot id differs)."""
+    from graphulo_spark.algorithms import pagerank
+
+    run = str(tmp_path / "pr_run")
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "src long, dst long, w double"
+    )
+    pagerank(spark, e, tol=0.0, max_iter=2, checkpoint_dir=run,
+             input_fp="iceberg-snapshot:1111")
+    # same snapshot -> resume continues (larger budget is a legal continuation)
+    pagerank(spark, e, tol=0.0, max_iter=3, checkpoint_dir=run, resume=True,
+             input_fp="iceberg-snapshot:1111")
+    # table advanced -> new snapshot id -> refuse via params-hash mismatch
+    with pytest.raises(ValueError, match="refusing to resume"):
+        pagerank(spark, e, tol=0.0, max_iter=3, checkpoint_dir=run, resume=True,
+                 input_fp="iceberg-snapshot:2222")
 
 
 def test_load_transcripts_refuses_bad_inputs(spark, tmp_path):
