@@ -44,7 +44,7 @@ BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
 
 def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
-    from graphulo_spark.algorithms import connected_components, pagerank
+    from graphulo_spark.algorithms import connected_components, label_propagation, pagerank
     from graphulo_spark.algorithms.triangles import triangle_count
     from graphulo_spark.entry import copurchase_edges, transitions_edges
     from graphulo_spark.linalg import symmetrize
@@ -111,6 +111,14 @@ def run_headline(cpus: str | int = CPUS, sf_dir: str = SF_DIR) -> dict:
     )
 
     timed("connected_components", lambda: connected_components(spark, edges).count())
+    # 5 fixed supersteps (like pagerank_10iter: fixed so rounds are
+    # comparable) — the fourth algorithm the north rule names alongside
+    # PageRank / CC / triangles; edges are already symmetric, so the
+    # internal symmetrize only doubles weights, which majority-vote ignores.
+    timed(
+        "label_propagation_5iter",
+        lambda: label_propagation(spark, edges, iters=5).count(),
+    )
     timed("triangle_count", lambda: triangle_count(edges, orientation="degree"))
     timed(
         "transcript_edge_induction",

@@ -219,6 +219,34 @@ def test_cc_pointer_jumping_logarithmic_on_path(spark):
     assert out.filter(out["component"] != 0).count() == 0  # one component, min id 0
 
 
+def test_cc_label_mass_delta_monotone(spark):
+    """cc's convergence witness is the label-mass delta Σlabel_{k-1}−Σlabel_k
+    (one map-side partial agg per round, no |V|-vs-|V| diff join). Labels
+    only ever decrease, so every recorded delta is > 0 until the final 0 —
+    and a zero delta genuinely means fixpoint (labels == min-id assignment)."""
+    el = _random_graph(n=60, m=90, seed=77)
+    df = spark.createDataFrame(el, "src long, dst long, w double")
+    hist = []
+    out = connected_components(spark, df, max_iter=40, history=hist)
+    assert hist[-1]["changed"] == 0
+    assert all(h["changed"] > 0 for h in hist[:-1]), hist
+    # the fixpoint the delta detected is the true min-label assignment
+    comp = {r["v"]: r["component"] for r in out.collect()}
+    adj = {}
+    for s, d, _ in el:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for v in comp:
+        stack, seen = [v], {v}
+        while stack:
+            u = stack.pop()
+            for w in adj.get(u, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        assert comp[v] == min(seen)
+
+
 def test_pagerank_one_job_per_superstep(spark):
     """Fixed-iteration mode on a dangling-free graph runs exactly ONE Spark
     job per superstep (the state materialization) — no per-superstep driver
