@@ -77,6 +77,12 @@ def _min_label(
         .transform(materialize)
     )
     converged = False
+    # convergence witness: lbl is monotone non-increasing (every update is
+    # F.least), so Σ lbl in exact decimal is strictly decreasing until the
+    # label fixpoint — same argument as cc.py's label mass. One map-side
+    # partial agg per round instead of a (b,v)-keyed |V|-vs-|V| diff join
+    # (ptr keeps doubling after lbl converges; it was never part of the test).
+    prev_sum = _lbl_mass(labels)
     for _ in range(max_inner):
         # hop: min provider label this round (the exactness backbone)
         prov = (
@@ -107,19 +113,21 @@ def _min_label(
             )
             .transform(materialize)
         )
-        changed = (
-            new.select("b", "v", F.col("lbl").alias("_ln"))
-            .join(labels.select("b", "v", F.col("lbl").alias("_lo")), ["b", "v"])
-            .filter(F.col("_ln") != F.col("_lo"))
-            .count()
-        )
+        new_sum = _lbl_mass(new)
         if watch is not None:
             watch.increment(span)
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     return labels.select("b", "v", "lbl"), converged
+
+
+def _lbl_mass(labels: DataFrame):
+    """Σ lbl in exact decimal(38,0) — the monotone convergence witness."""
+    row = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).collect()
+    return row[0]["s"] or 0  # empty batch → NULL sum → 0
 
 
 def scc(
