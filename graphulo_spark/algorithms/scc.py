@@ -78,11 +78,12 @@ def _min_label(
     )
     converged = False
     # convergence witness: lbl is monotone non-increasing (every update is
-    # F.least), so Σ lbl in exact decimal is strictly decreasing until the
-    # label fixpoint — same argument as cc.py's label mass. One map-side
-    # partial agg per round instead of a (b,v)-keyed |V|-vs-|V| diff join
-    # (ptr keeps doubling after lbl converges; it was never part of the test).
-    prev_sum = _lbl_mass(labels)
+    # F.least), so new != old ⟺ the label moved — a changed-row FLAG summed
+    # in the same map-side partial agg replaces the (b,v)-keyed |V|-vs-|V|
+    # diff join, and unlike cc.py's decimal label-mass it is type-generic
+    # (vertex ids here can be strings — scc_transitions — where a decimal
+    # cast of the label throws). ptr keeps doubling after lbl converges; it
+    # was never part of the test.
     for _ in range(max_inner):
         # hop: min provider label this round (the exactness backbone)
         prov = (
@@ -101,33 +102,28 @@ def _min_label(
         step = labels.join(
             lut, (labels["b"] == lut["_jb"]) & (labels["ptr"] == lut["_jv"]), "left"
         ).select("b", "v", "lbl", "ptr", "_jl", "_jp")
+        nl = F.least(
+            "lbl", F.coalesce("_pl", F.col("lbl")), F.coalesce("_jl", F.col("lbl"))
+        )
         new = (
             step.join(prov, ["b", "v"], "left")
             .select(
                 "b",
                 "v",
-                F.least(
-                    "lbl", F.coalesce("_pl", F.col("lbl")), F.coalesce("_jl", F.col("lbl"))
-                ).alias("lbl"),
+                nl.alias("lbl"),
                 F.coalesce("_jp", F.col("ptr")).alias("ptr"),
+                (nl != F.col("lbl")).cast("int").alias("_chg"),
             )
             .transform(materialize)
         )
-        new_sum = _lbl_mass(new)
+        changed = new.agg(F.sum("_chg").alias("c")).collect()[0]["c"] or 0
         if watch is not None:
             watch.increment(span)
-        labels = new
-        if new_sum == prev_sum:
+        labels = new.drop("_chg")
+        if changed == 0:
             converged = True
             break
-        prev_sum = new_sum
     return labels.select("b", "v", "lbl"), converged
-
-
-def _lbl_mass(labels: DataFrame):
-    """Σ lbl in exact decimal(38,0) — the monotone convergence witness."""
-    row = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")).collect()
-    return row[0]["s"] or 0  # empty batch → NULL sum → 0
 
 
 def scc(

@@ -54,6 +54,7 @@ from graphulo_spark.linalg import (
     top_k_per_row,
 )
 from graphulo_spark.pipeline.dedup import (
+    dedup_clusters,
     dedup_keep_set,
     exact_dedup,
     minhash_lsh_pairs,
@@ -564,9 +565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["edge_induction_transitions"] = transitions_edges
     q["edge_table_copurchase"] = copurchase_edges
     q["degree_table"] = lambda spark, sf: degrees(copurchase_edges(spark, sf), by="src")
-    q["degree_table_weighted"] = lambda spark, sf: degrees(
-        copurchase_edges(spark, sf), by="src", weighted=True
-    )
     q["minmax_filter"] = lambda spark, sf: minmax_filter(copurchase_edges(spark, sf), lo=2.0, hi=5.0)
     q["row_degree_filter"] = lambda spark, sf: row_degree_filter(
         copurchase_edges(spark, sf), min_degree=50
@@ -660,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_keep_set"] = lambda spark, sf: dedup_keep_set(
         spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.8
     )
+    q["dedup_clusters"] = lambda spark, sf: dedup_clusters(
+        spark, spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.8
+    )
     q["ngram_jaccard_pairs"] = lambda spark, sf: (
         ngram_jaccard_pairs(
             spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.1, max_shingle_freq=None
@@ -731,9 +732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   ktruss_edge_3         == ktruss_3          (tests/test_graphulo5.py)
     #   triangle_count_adjedge== triangle_count    (tests/test_graphulo5.py)
     #   pagerank_5iter_salted/_arrow == pagerank_5iter (tests/test_pagerank.py)
+    #   degree_table_weighted ~ degree_table (same degrees() kernel, weighted
+    #     flag; golden-pinned in tests/test_graphulo5.py::test_degrees —
+    #     rotated below in r5 to make room for dedup_clusters)
     # New driver-checked queries MUST be inserted ABOVE this block; anything
     # added below it never gets a CORRECTNESS row.
     # ------------------------------------------------------------------
+    q["degree_table_weighted"] = lambda spark, sf: degrees(
+        copurchase_edges(spark, sf), by="src", weighted=True
+    )
     q["spgemm_rowop"] = lambda spark, sf: table_mult_rowop(
         transitions_edges(spark, sf), transitions_edges(spark, sf)
     )
@@ -1074,6 +1081,61 @@ verified AS (
   WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.8)
 SELECT doc_id AS keep_id FROM docs2
 WHERE doc_id NOT IN (SELECT id_b FROM verified)"""
+    # transitive-closure dup clusters: exact star edges ∪ verified near pairs,
+    # component min-id via recursive reachability (the Spark side runs the
+    # engine's own connected_components over the same edge set)
+    o["dedup_clusters"] = """
+WITH RECURSIVE exact_keep AS MATERIALIZED (
+  SELECT md5(text) AS dg, MIN(doc_id) AS kid FROM documents GROUP BY 1
+),
+exact_edges AS MATERIALIZED (
+  SELECT ek.kid AS a, d.doc_id AS b
+  FROM documents d JOIN exact_keep ek ON md5(d.text) = ek.dg
+  WHERE d.doc_id != ek.kid
+),
+docs2 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d JOIN exact_keep ek ON d.doc_id = ek.kid
+),
+toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t FROM docs2),
+sh AS (
+  SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1) ELSE [] END) AS u(i)
+),
+sigs AS MATERIALIZED (
+  SELECT id,
+         MIN(md5('0:' || shingle)) AS s0, MIN(md5('1:' || shingle)) AS s1,
+         MIN(md5('2:' || shingle)) AS s2, MIN(md5('3:' || shingle)) AS s3,
+         MIN(md5('4:' || shingle)) AS s4, MIN(md5('5:' || shingle)) AS s5,
+         MIN(md5('6:' || shingle)) AS s6, MIN(md5('7:' || shingle)) AS s7
+  FROM sh GROUP BY id),
+bandsx AS MATERIALIZED (
+  SELECT id, 0 AS band, md5(s0 || '|' || s1) AS bh FROM sigs
+  UNION ALL SELECT id, 1, md5(s2 || '|' || s3) FROM sigs
+  UNION ALL SELECT id, 2, md5(s4 || '|' || s5) FROM sigs
+  UNION ALL SELECT id, 3, md5(s6 || '|' || s7) FROM sigs),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandsx a JOIN bandsx b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT cd.id_a, cd.id_b, COUNT(*) AS cnt
+  FROM cand cd
+  JOIN sh a ON a.id = cd.id_a
+  JOIN sh b ON b.id = cd.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+near_edges AS MATERIALIZED (
+  SELECT common.id_a AS a, common.id_b AS b
+  FROM common JOIN sizes sa ON common.id_a = sa.id JOIN sizes sb ON common.id_b = sb.id
+  WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.8),
+pairs AS MATERIALIZED (
+  SELECT a, b FROM exact_edges UNION SELECT b, a FROM exact_edges
+  UNION SELECT a, b FROM near_edges UNION SELECT b, a FROM near_edges),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT p.b AS id, r.lbl FROM pairs p JOIN reach r ON r.id = p.a
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id"""
     o["ngram_jaccard_pairs"] = f"""
 WITH {SHINGLES_CTE.strip()},
 sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),

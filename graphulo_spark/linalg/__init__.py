@@ -20,6 +20,7 @@ from graphulo_spark.linalg.edges import (
 from graphulo_spark.linalg.ewise import ewise_mult, ewise_sum, table_diff, row_selector
 from graphulo_spark.linalg.filters import (
     bernoulli_sample,
+    stratified_sample,
     minmax_filter,
     row_degree_filter,
     triangular_filter,
@@ -38,6 +39,7 @@ __all__ = [
     "table_diff",
     "row_selector",
     "bernoulli_sample",
+    "stratified_sample",
     "minmax_filter",
     "row_degree_filter",
     "triangular_filter",

@@ -57,6 +57,30 @@ def row_degree_filter(
     return out.drop("_deg")
 
 
+def stratified_sample(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """At most ``k`` rows per group, picked by a deterministic portable hash
+    of the integer key — the per-stratum cap a training-data curation pass
+    uses to balance sources/languages without a global sort.
+
+    Rank = row_number over (group, hash(key) asc, key asc): one shuffle on
+    the group key, per-partition top-k via WindowGroupLimit (no full
+    per-group sort materializes), zero RNG state — a SQL oracle reproduces
+    the exact row set. The key is pre-reduced mod 2^31-1 so the Knuth product
+    stays in int64 in engines that trap overflow (DuckDB)."""
+    h = F.pmod(
+        F.pmod(F.col(key_col).cast("long"), F.lit(2147483647)) * F.lit(_KNUTH),
+        F.lit(1000000007),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def bernoulli_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:
     """Deterministic ~percent% sample by multiplicative hash of an integer key
     (skvi/SamplingFilter.java:17-73 hashes the row; here the hash is portable

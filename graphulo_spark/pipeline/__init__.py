@@ -8,6 +8,7 @@ arithmetic-only so DuckDB oracles can reproduce results bit-for-bit.
 """
 
 from graphulo_spark.pipeline.dedup import (
+    dedup_clusters,
     dedup_keep_set,
     exact_dedup,
     minhash_signatures,
@@ -15,6 +16,7 @@ from graphulo_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
     shingles,
+    verified_near_pairs,
 )
 from graphulo_spark.pipeline.similarity import cosine_topk, lsh_hyperplane_buckets
 from graphulo_spark.pipeline.text import (
@@ -25,6 +27,7 @@ from graphulo_spark.pipeline.text import (
 )
 
 __all__ = [
+    "dedup_clusters",
     "dedup_keep_set",
     "exact_dedup",
     "minhash_signatures",
@@ -32,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "shingles",
+    "verified_near_pairs",
     "cosine_topk",
     "lsh_hyperplane_buckets",
     "doc_fingerprint",

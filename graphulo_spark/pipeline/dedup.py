@@ -269,11 +269,39 @@ def dedup_keep_set(
     ids = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest"))
     exact_keep = ids.groupBy("digest").agg(F.min("id").alias("id")).select("id")
     survivors = docs.join(exact_keep.withColumnRenamed("id", id_col), id_col, "semi")
+    drops = (
+        verified_near_pairs(
+            survivors, text_col=text_col, id_col=id_col, k=k, bands=bands, n=n,
+            threshold=threshold, hash_family=hash_family,
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return exact_keep.join(drops, "id", "anti").select(F.col("id").alias("keep_id"))
+
+
+def verified_near_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """[id_a, id_b] (id_a < id_b): LSH candidate pairs whose EXACT n-gram
+    Jaccard clears ``threshold`` — the propose-then-verify stage shared by
+    ``dedup_keep_set`` (greedy drop) and ``dedup_clusters`` (closure).
+
+    The verification join routes shingles THROUGH the candidate list, so its
+    cost is O(candidates × shared shingles), never the all-pairs self-join."""
     cand = minhash_lsh_pairs(
-        survivors, text_col=text_col, id_col=id_col, k=k, bands=bands, n=n,
+        docs, text_col=text_col, id_col=id_col, k=k, bands=bands, n=n,
         hash_family=hash_family,
     ).select("id_a", "id_b")
-    sh = shingles(survivors, text_col, id_col, n)
+    sh = shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     common = (
         cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
@@ -281,11 +309,69 @@ def dedup_keep_set(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("cnt"))
     )
-    drops = (
+    return (
         common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
         .filter(F.col("cnt") / (F.col("sa") + F.col("sb") - F.col("cnt")) >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
+        .select("id_a", "id_b")
     )
-    return exact_keep.join(drops, "id", "anti").select(F.col("id").alias("keep_id"))
+
+
+def dedup_clusters(
+    spark,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """[doc_id, cluster_id]: TRANSITIVE-closure duplicate clusters over the
+    whole corpus; cluster_id = min doc id of the cluster, so a doc is its
+    cluster's canonical keeper iff doc_id == cluster_id.
+
+    The duplicate graph unions two edge kinds:
+    - exact: every doc → the min-id doc of its md5(text) group (star edges —
+      one hash-groupBy, shuffles (digest, id) only);
+    - near: among exact survivors, LSH-proposed candidates verified by exact
+      n-gram Jaccard ≥ threshold (``verified_near_pairs``).
+
+    Components come from the engine's own ``connected_components`` (pointer-
+    jumped min-label — the same kernel the link-graph queries run), so the
+    chain A~B, B~C clusters {A,B,C} even when A~C was never proposed. This is
+    the closure semantics production corpus pipelines use to pick one
+    canonical doc per dup family; contrast ``dedup_keep_set``'s greedy 1-hop
+    rule, which this module keeps for reference parity.
+
+    Scale shape: edge construction is the dedup pipeline's own sublinear
+    stages; the closure runs O(log n) label rounds over |dup pairs| edges —
+    a graph far smaller than the corpus (only docs with ≥1 duplicate edge
+    enter it; singletons never shuffle)."""
+    from graphulo_spark.algorithms.cc import connected_components
+
+    ids = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest"))
+    keep = ids.groupBy("digest").agg(F.min("id").alias("kid"))
+    exact_edges = (
+        ids.join(keep, "digest")
+        .filter(F.col("id") != F.col("kid"))
+        .select(F.col("kid").alias("src"), F.col("id").alias("dst"))
+    )
+    survivors = docs.join(
+        keep.select(F.col("kid").alias(id_col)), id_col, "semi"
+    )
+    near_edges = verified_near_pairs(
+        survivors, text_col=text_col, id_col=id_col, k=k, bands=bands, n=n,
+        threshold=threshold, hash_family=hash_family,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(spark, exact_edges.unionByName(near_edges))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("v", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )

@@ -72,6 +72,9 @@ PARITY_VARIANTS = {
     "triangle_count_adjedge",  # == triangle_count
     "pagerank_5iter_salted",   # == pagerank_5iter
     "pagerank_5iter_arrow",    # == pagerank_5iter
+    "degree_table_weighted",   # ~ degree_table (same degrees() kernel;
+                               #   golden-pinned; rotated out in r5 to make
+                               #   room for dedup_clusters)
 }
 
 

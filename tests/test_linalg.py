@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -119,6 +121,34 @@ def test_bernoulli_sample_deterministic(spark):
     s2 = bernoulli_sample(df, "k", 10).count()
     assert s1 == s2
     assert 50 <= s1 <= 200  # ~10%
+
+
+def test_stratified_sample_matches_python_oracle(spark):
+    from graphulo_spark.linalg import stratified_sample
+
+    sf = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = stratified_sample(docs, ["lang"], "doc_id", 3)
+    got = [(r["lang"], r["doc_id"]) for r in out.select("lang", "doc_id").collect()]
+    # per-group cap holds
+    from collections import Counter
+    assert max(Counter(l for l, _ in got).values()) <= 3
+    # exact row set matches the hash formula replayed in pure python
+    pdf = docs.select("doc_id", "lang").toPandas()
+    rank = {
+        (int(r.doc_id)): (int(r.doc_id) % 2147483647) * 2654435761 % 1000000007
+        for r in pdf.itertuples()
+    }
+    expected = set()
+    for lang in pdf.lang.unique():
+        ids = sorted(
+            (int(i) for i in pdf[pdf.lang == lang].doc_id),
+            key=lambda i: (rank[i], i),
+        )
+        expected |= {(lang, i) for i in ids[:3]}
+    assert set(got) == expected
+    # per-partition top-k, not a full per-group sort
+    assert "WindowGroupLimit" in out._jdf.queryExecution().executedPlan().toString()
 
 
 def test_top_k_per_row(edges):

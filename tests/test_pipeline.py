@@ -463,6 +463,35 @@ def test_token_count_bpeish_matches_python_re(spark):
     assert got == want
 
 
+def test_dedup_clusters_transitive_closure(spark):
+    """Chain A~B~C where A~C is BELOW threshold: closure puts all three in
+    one cluster (greedy keep-set semantics would not transfer ownership).
+    Exact dup rides a star edge; isolated doc keeps its own id."""
+    from graphulo_spark.pipeline import dedup_clusters
+
+    t = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    rows = [
+        (1, f"{t} end_a"),            # A
+        (2, f"{t} end_b"),            # B: jacc(A,B) = 7/9 ≥ 0.7
+        (3, f"start_c {t[3:]} end_b"),  # C: jacc(B,C) = 7/9; jacc(A,C) = 6/10 < 0.7
+        (5, f"{t} end_a"),            # exact dup of A
+        (6, "completely different text about spark engines and graphs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs.sparkSession, docs, threshold=0.7, bands=8).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 6: 6}
+    # sanity vs the greedy pass: it also drops 2 and 5, but can only say
+    # WHICH doc to keep, not which cluster 3 belongs to — the per-doc
+    # cluster assignment (3 → 1 through the B-hop) is the closure's delta
+    from graphulo_spark.pipeline import dedup_keep_set
+
+    keep = {r["keep_id"] for r in dedup_keep_set(docs, threshold=0.7, bands=8).collect()}
+    assert 1 in keep and 6 in keep and 2 not in keep and 5 not in keep
+
+
 def test_dedup_keep_set_composition(spark, dupdocs):
     """The composed pass end to end, including its recall contract:
     - 2 always dies in the exact stage (byte-identical dup of 1).
