@@ -89,6 +89,37 @@ for r in rows:
     by_rep[r["dup_of"]] = by_rep.get(r["dup_of"], 0) + 1
 print(json.dumps({"near_dup_rows": len(rows), "reps": sorted(by_rep.items())[:5]}))
 
+# corpus dedup: turn texts are unique by construction, so plant a dup-heavy
+# sub-corpus deterministically — ~30% of docs collapse onto 50 templates,
+# each in two variants differing by one trailing token (trigram jaccard
+# 9/11 ≈ 0.82 ≥ the 0.8 verify threshold). Exact star edges merge same-
+# variant copies; verified near pairs merge the two variants of a template;
+# the engine's own connected_components closes the families transitively.
+from graphulo_spark.pipeline.dedup import dedup_clusters
+
+base = t.select(F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text")
+tid = F.pmod("doc_id", 50).cast("string")
+tmpl = F.concat_ws(
+    " ",
+    *[F.concat(F.lit(w), tid) for w in "abcdefghijk"],  # 11 template-specific tokens
+    F.concat(F.lit("v"), F.pmod("doc_id", 2).cast("string")),  # 1 variant token
+)
+docs = base.withColumn(
+    "text", F.when(F.pmod("doc_id", 10) < 3, tmpl).otherwise(F.col("text"))
+)
+dc = dedup_clusters(spark, docs)
+stats = dc.agg(
+    F.count("*").alias("docs"), F.countDistinct("cluster_id").alias("clusters")
+).collect()[0]
+keepers = dc.filter(F.col("doc_id") == F.col("cluster_id")).count()
+families = dc.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
+print(json.dumps({
+    "dedup_docs": stats["docs"],
+    "dedup_clusters": stats["clusters"],
+    "dup_families": families,
+    "keepers_equal_clusters": keepers == stats["clusters"],
+}))
+
 # NMF factorization + frozen-H projection of "new" rows (doHT_HHTinv)
 from graphulo_spark.algorithms.nmf import assign_topics, nmf, reconstruction_error
 

@@ -31,6 +31,8 @@ That turns the old per-round |V|-vs-|V| equality join into one map-side
 partial aggregate over the already-materialized label table — no extra
 shuffle, no second pass. The sum runs in decimal(38,0) so it stays exact
 for any realistic |V| (long ids ≤ 9.2e18, 1e19+ rows before overflow).
+The mass witness needs NUMERIC vertex ids; for other id types (string
+entity graphs) cc falls back to the type-generic changed-row diff join.
 """
 
 from __future__ import annotations
@@ -102,7 +104,13 @@ def connected_components(
             labels = ckpt.save(0, labels)
         else:
             labels = labels.transform(materialize)
-    prev_sum = _label_mass(labels)
+    # witness dispatch: the decimal label-mass sum needs numeric vertex ids;
+    # for string ids (e.g. entity graphs) fall back to the type-generic
+    # changed-row diff join — correct for any orderable type, one extra
+    # |V|-vs-|V| join per round on that (rare, small) input class
+    numeric_ids = _is_numeric(labels.schema["label"].dataType)
+    prev_sum = _label_mass(labels) if numeric_ids else None
+    prev_labels = labels
 
     for step in range(start_step + 1, max_iter + 1):
         nbr_min = (
@@ -128,21 +136,37 @@ def connected_components(
         if watch is not None:
             watch.increment("supersteps")
         with span("convergence_test"):
-            new_sum = _label_mass(new_labels)
-        changed = int(prev_sum - new_sum)
+            if numeric_ids:
+                new_sum = _label_mass(new_labels)
+                changed = int(prev_sum - new_sum)
+                prev_sum = new_sum
+            else:
+                changed = (
+                    new_labels.withColumnRenamed("label", "_nl")
+                    .join(prev_labels, "v")
+                    .filter(F.col("_nl") != F.col("label"))
+                    .count()
+                )
         if history is not None:
             history.append({"step": step, "changed": changed})
         labels = new_labels
-        prev_sum = new_sum
+        prev_labels = new_labels
         if changed == 0:
             break
 
     return labels.withColumnRenamed("label", "component")
 
 
+def _is_numeric(dt) -> bool:
+    from pyspark.sql.types import NumericType
+
+    return isinstance(dt, NumericType)
+
+
 def _label_mass(labels: DataFrame):
     """Σ label in exact decimal — the monotone convergence witness. One
     map-side-partial aggregate over the materialized label table (vs the
-    former |V|-vs-|V| equality join per round)."""
+    former |V|-vs-|V| equality join per round). Numeric vertex ids only —
+    cc() falls back to a diff join for other id types."""
     row = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()
     return row[0]["s"] or 0  # empty graph → NULL sum → 0

@@ -230,6 +230,18 @@ def test_cc_label_mass_delta_monotone(spark):
     out = connected_components(spark, df, max_iter=40, history=hist)
     assert hist[-1]["changed"] == 0
     assert all(h["changed"] > 0 for h in hist[:-1]), hist
+    # string vertex ids take the diff-join witness path (the decimal mass
+    # sum would throw) — same components, same zero-terminated history
+    sdf = spark.createDataFrame(
+        [(f"v{s:03d}", f"v{d:03d}", 1.0) for s, d, _ in el],
+        "src string, dst string, w double",
+    )
+    shist = []
+    sout = connected_components(spark, sdf, max_iter=40, history=shist)
+    assert shist[-1]["changed"] == 0
+    scomp = {r["v"]: r["component"] for r in sout.collect()}
+    comp0 = {r["v"]: r["component"] for r in out.collect()}
+    assert scomp == {f"v{v:03d}": f"v{c:03d}" for v, c in comp0.items()}
     # the fixpoint the delta detected is the true min-label assignment
     comp = {r["v"]: r["component"] for r in out.collect()}
     adj = {}
