@@ -209,14 +209,18 @@ def pagerank_job(cpus: str, sf_dir: str, iters: int = 10) -> dict:
     # per superstep) vs 'shuffle' (re-shuffle edges each superstep). On shared-
     # memory-bus boxes the two bottleneck differently — see BENCH/BASELINE.md §3.
     layout = os.environ.get("SPARK_GRAFT_EDGE_LAYOUT", "resident")
+    # 'plain' (default: the shuffled-hash-join plan that survives 10^9
+    # vertices) vs 'arrow' (CSR-blocked adjacency in Arrow batches, broadcast
+    # rank vector, np.bincount gather-scatter — the pandas-UDF SpMV path)
+    strategy = os.environ.get("SPARK_GRAFT_SCALING_STRATEGY", "plain")
     spark = get_spark(app=f"graphulo-scaling-{cpus}", cores=cpus)
     t = generate_transcripts(spark, n_convs)
     edges = symmetrize(induce_edges(t)).localCheckpoint()
     n_edges = edges.count()
     # warm-up superstep (JIT/codegen), then measured run
-    pagerank(spark, edges, tol=0.0, max_iter=1, strategy="plain", edge_layout=layout).count()
+    pagerank(spark, edges, tol=0.0, max_iter=1, strategy=strategy, edge_layout=layout).count()
     t0 = time.time()
-    pagerank(spark, edges, tol=0.0, max_iter=iters, strategy="plain", edge_layout=layout).count()
+    pagerank(spark, edges, tol=0.0, max_iter=iters, strategy=strategy, edge_layout=layout).count()
     wall = time.time() - t0
     spark.stop()
     return {
@@ -225,6 +229,7 @@ def pagerank_job(cpus: str, sf_dir: str, iters: int = 10) -> dict:
         "n_edges": n_edges,
         "iters": iters,
         "edge_layout": layout,
+        "strategy": strategy,
         "wall_s": round(wall, 3),
         "throughput_edges_per_s": round(iters * n_edges / wall, 1),
     }
