@@ -18,7 +18,7 @@ from __future__ import annotations
 from contextlib import nullcontext
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphulo_spark.materialize import materialize
@@ -82,16 +82,17 @@ def label_propagation(
             .groupBy(F.col("dst").alias("v"), "label")
             .agg(F.sum("w").alias("_wt"))
         )
-        w_rank = Window.partitionBy("v").orderBy(F.col("_wt").desc(), F.col("label").asc())
-        winner = (
-            votes.withColumn("_rk", F.row_number().over(w_rank))
-            .filter(F.col("_rk") == 1)
-            .select("v", "label")
-        )
-        new_labels = (
-            vertices.join(winner, "v", "left")
-            .join(labels.withColumnRenamed("label", "_old"), "v", "left")
-            .select("v", F.coalesce("label", "_old").alias("label"))
+        # argmax by (weight desc, label asc) as ONE aggregate: max over the
+        # struct (_wt, -label) picks the heaviest vote, smallest label on
+        # ties — map-side partial combine, no per-vertex sort window. And on
+        # a symmetrized edge-derived graph every vertex is some edge's dst,
+        # so the winner table IS the complete new label table — the former
+        # vertices-left-join-winner-left-join-old completion (two |V|-vs-|V|
+        # joins per superstep) was provably dead weight.
+        new_labels = votes.groupBy("v").agg(
+            F.max_by("label", F.struct(F.col("_wt"), (-F.col("label")).alias("_nl"))).alias(
+                "label"
+            )
         )
         with span("superstep"):
             new_labels = ckpt.save(step, new_labels) if ckpt else new_labels.transform(materialize)
