@@ -10,7 +10,9 @@ loop). Update rule, applied synchronously to every vertex per superstep:
 Deterministic by construction (SURVEY.md §7.3 "genuinely hard parts" (a)):
 synchronous update + fixed tie-break ⇒ bit-identical assignments across runs
 and cluster sizes, which is what makes "exact parity" testable. Fixed
-iteration count (LPA can oscillate on bipartite structures); labels are LONG.
+iteration count (LPA can oscillate on bipartite structures). Numeric vertex
+ids take the one-aggregate max_by argmax; string ids (entity graphs) keep a
+sort-window argmax — same winner rule, see the superstep comment.
 """
 
 from __future__ import annotations
@@ -61,6 +63,9 @@ def label_propagation(
 
     span = watch.span if watch is not None else (lambda _name: nullcontext())
     vertices = sym.select(F.col("src").alias("v")).distinct()
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(vertices.schema["v"].dataType, NumericType)
 
     start_step = 0
     labels = None
@@ -89,11 +94,25 @@ def label_propagation(
         # so the winner table IS the complete new label table — the former
         # vertices-left-join-winner-left-join-old completion (two |V|-vs-|V|
         # joins per superstep) was provably dead weight.
-        new_labels = votes.groupBy("v").agg(
-            F.max_by("label", F.struct(F.col("_wt"), (-F.col("label")).alias("_nl"))).alias(
-                "label"
+        # String vertex ids have no cheap order inversion for the tie-break,
+        # so they keep the sort-window argmax (entity graphs — small |V|).
+        if numeric_ids:
+            new_labels = votes.groupBy("v").agg(
+                F.max_by(
+                    "label", F.struct(F.col("_wt"), (-F.col("label")).alias("_nl"))
+                ).alias("label")
             )
-        )
+        else:
+            from pyspark.sql import Window
+
+            w_rank = Window.partitionBy("v").orderBy(
+                F.col("_wt").desc(), F.col("label").asc()
+            )
+            new_labels = (
+                votes.withColumn("_rk", F.row_number().over(w_rank))
+                .filter(F.col("_rk") == 1)
+                .select("v", "label")
+            )
         with span("superstep"):
             new_labels = ckpt.save(step, new_labels) if ckpt else new_labels.transform(materialize)
         if watch is not None:

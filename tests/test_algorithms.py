@@ -104,6 +104,20 @@ def test_label_prop_deterministic(spark, rgraph):
     assert a == b
 
 
+def test_label_prop_string_ids(spark, rgraph):
+    """String vertex ids take the sort-window argmax path (no order
+    inversion for the max_by struct) — same assignments as the numeric
+    path under an order-isomorphic id mapping."""
+    el, df = rgraph
+    sdf = spark.createDataFrame(
+        [(f"v{s:03d}", f"v{d:03d}", w) for s, d, w in el],
+        "src string, dst string, w double",
+    )
+    got = {r["v"]: r["label"] for r in label_propagation(spark, sdf, iters=3).collect()}
+    base = {r["v"]: r["label"] for r in label_propagation(spark, df, iters=3).collect()}
+    assert got == {f"v{v:03d}": f"v{l:03d}" for v, l in base.items()}
+
+
 def test_triangles_random_oracle(spark, rgraph):
     el, df = rgraph
     assert triangle_count(df) == python_triangles(el)
