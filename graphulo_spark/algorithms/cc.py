@@ -60,7 +60,8 @@ def connected_components(
     watch: Any | None = None,
     input_fp: str | None = None,
 ) -> DataFrame:
-    """Returns DataFrame[v: long, component: long] (component = min id).
+    """Returns DataFrame[v, component] (component = min id; any orderable
+    id type — numeric ids use the label-mass witness, others the diff join).
 
     ``shortcut=False`` disables pointer jumping (plain min-label propagation,
     O(diameter) rounds) — kept for equivalence testing. ``input_fp``

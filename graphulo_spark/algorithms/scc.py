@@ -134,7 +134,8 @@ def scc(
     max_inner: int = 100,
     watch: "Any | None" = None,
 ) -> DataFrame:
-    """Returns DataFrame[v: long, scc: long]; scc = min vertex id in the SCC
+    """Returns DataFrame[v, scc] (any orderable id type; string entity
+    graphs included); scc = min vertex id in the SCC
     (deterministic canonical assignment, like cc's min-label components)."""
     e_all = edges.select("src", "dst").distinct().transform(materialize)
     remaining = (

@@ -18,7 +18,11 @@ from graphulo_spark.pipeline.dedup import (
     shingles,
     verified_near_pairs,
 )
-from graphulo_spark.pipeline.similarity import cosine_topk, lsh_hyperplane_buckets
+from graphulo_spark.pipeline.similarity import (
+    cosine_topk,
+    embedding_dup_clusters,
+    lsh_hyperplane_buckets,
+)
 from graphulo_spark.pipeline.text import (
     doc_fingerprint,
     lang_id,
@@ -37,6 +41,7 @@ __all__ = [
     "shingles",
     "verified_near_pairs",
     "cosine_topk",
+    "embedding_dup_clusters",
     "lsh_hyperplane_buckets",
     "doc_fingerprint",
     "lang_id",

@@ -402,6 +402,51 @@ def embedding_near_dup(
     ).select(F.col("r.id_b").alias("vec_id"), F.col("r.dup_of").alias("dup_of"), F.col("p.cosine").alias("cosine"))
 
 
+def embedding_dup_clusters(
+    spark,
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[vec_id, cluster_id]: TRANSITIVE-closure near-duplicate clusters over
+    the embedding table; cluster_id = min vec id of the cluster, so a vector
+    is its cluster's canonical keeper iff vec_id == cluster_id. Singletons
+    (no qualifying neighbor) map to themselves.
+
+    The embedding-side sibling of ``pipeline.dedup.dedup_clusters``: LSH
+    candidate pairs (``ann_candidates`` — bucketed hyperplane join, never
+    all-pairs) at cosine ≥ threshold feed the engine's own
+    ``connected_components``, so the chain A~B, B~C clusters {A,B,C} even
+    when cos(A,C) < threshold — the closure semantics
+    ``embedding_near_dup``'s greedy 1-hop rule deliberately does not have.
+
+    Scale shape: the closure runs over |qualifying pairs| edges only —
+    vectors with no near neighbor never enter the component computation."""
+    from graphulo_spark.algorithms.cc import connected_components
+
+    pairs = (
+        ann_candidates(
+            embeddings, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(spark, pairs)
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(comp.withColumnRenamed("v", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+
+
 def bray_curtis_pairs(
     vectors: DataFrame,
     *,

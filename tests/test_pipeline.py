@@ -492,6 +492,29 @@ def test_dedup_clusters_transitive_closure(spark):
     assert 1 in keep and 6 in keep and 2 not in keep and 5 not in keep
 
 
+def test_embedding_dup_clusters_closure(spark):
+    """Chain in embedding space: cos(A,B), cos(B,C) clear the threshold,
+    cos(A,C) does not — the closure clusters {A,B,C}; the far vector stays
+    a singleton keeper."""
+    import math
+
+    from graphulo_spark.pipeline.similarity import embedding_dup_clusters
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [(1, vec(0)), (2, vec(20)), (3, vec(40)), (9, vec(180))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_dup_clusters(
+            spark, emb, threshold=0.9, n_planes=1, n_tables=6
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
 def test_dedup_keep_set_composition(spark, dupdocs):
     """The composed pass end to end, including its recall contract:
     - 2 always dies in the exact stage (byte-identical dup of 1).
