@@ -121,3 +121,27 @@ def transcripts_fingerprint(spark: SparkSession, source: str) -> str | None:
     except Exception:
         return None
     return f"iceberg-snapshot:{row[0]}" if row else None
+
+
+def source_input_fp(
+    spark: SparkSession, source: str, derived: DataFrame, *cols: str
+) -> str:
+    """Checkpoint ``input_fp`` for a table derived from ``source`` (e.g. the
+    edge table induced from a transcript table): the Iceberg current-snapshot
+    fingerprint when the source is a catalog table — catalog metadata only,
+    zero data scan — else checkpoint.py's content fingerprint of the derived
+    projection (one parallel pass).
+
+    Pass the result as the ``input_fp`` of :func:`~graphulo_spark.algorithms.
+    pagerank` / ``connected_components`` / ``label_propagation``: a resumed
+    run against a table that committed a new snapshot then refuses from the
+    snapshot id alone, before any superstep touches data. (Graphulo's analogue
+    is the one-table-version scan its BatchScanner session pins,
+    Graphulo.java:634-668; here snapshot isolation is the table format's job
+    and the engine's job is refusing to mix versions across a resume.)"""
+    fp = transcripts_fingerprint(spark, source)
+    if fp is not None:
+        return fp
+    from graphulo_spark.checkpoint import input_fingerprint
+
+    return input_fingerprint(derived, *cols)

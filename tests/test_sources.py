@@ -123,6 +123,44 @@ def test_snapshot_fingerprint_gates_checkpoint_resume(spark, tmp_path):
                  input_fp="iceberg-snapshot:2222")
 
 
+def test_source_input_fp_dispatch(spark, tmp_path):
+    """source_input_fp prefers the catalog-metadata snapshot fingerprint and
+    falls back to the content fingerprint. The catalog side is simulated with
+    a managed ``<db>.history`` table shaped like Iceberg's metadata table —
+    the helper's SQL is identical against the real thing — including a
+    rollback (newest ``made_current_at`` wins, not the largest snapshot id)."""
+    from graphulo_spark.checkpoint import input_fingerprint
+    from graphulo_spark.sources import source_input_fp
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, w double"
+    )
+    # parquet-path source -> content fingerprint of the derived projection
+    fp = source_input_fp(spark, str(tmp_path / "t.parquet"), e, "src", "dst", "w")
+    assert fp == input_fingerprint(e, "src", "dst", "w")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ice_sim")
+    try:
+        spark.sql(
+            "CREATE TABLE ice_sim.history (snapshot_id BIGINT, "
+            "made_current_at TIMESTAMP) USING parquet"
+        )
+        spark.sql(
+            "INSERT INTO ice_sim.history VALUES "
+            "(111, TIMESTAMP '2026-01-01 00:00:00'), "
+            "(222, TIMESTAMP '2026-01-02 00:00:00')"
+        )
+        assert source_input_fp(spark, "ice_sim", e) == "iceberg-snapshot:222"
+        # rollback to 111: a NEW history row marks the OLD snapshot current
+        spark.sql(
+            "INSERT INTO ice_sim.history VALUES "
+            "(111, TIMESTAMP '2026-01-03 00:00:00')"
+        )
+        assert source_input_fp(spark, "ice_sim", e) == "iceberg-snapshot:111"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS ice_sim CASCADE")
+
+
 def test_load_transcripts_refuses_bad_inputs(spark, tmp_path):
     from graphulo_spark.sources import load_transcripts
     from graphulo_spark.transcripts import generate_transcripts
