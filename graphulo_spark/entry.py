@@ -799,7 +799,11 @@ def _edge_bfs_query(spark: SparkSession, sf: str) -> DataFrame:
 def _line_graph_query(spark: SparkSession, sf: str) -> DataFrame:
     """LineGraph (Graphulo.java:2011-2033) over the transitions graph:
     pairs of edges sharing an endpoint, endpoints spelled out so the SQL
-    oracle needs no engine-specific edge-id hash."""
+    oracle needs no engine-specific edge-id hash.
+
+    CACHE OWNERSHIP: one-shot driver-query constructor (see
+    _jaccard_lowpass_edges) — the cache lives until the per-run session ends;
+    long-lived sessions should clearCache() after consuming the result."""
     t = transitions_edges(spark, sf).select("src", "dst").cache()
     ends = t.select("src", "dst", F.explode(F.array("src", "dst")).alias("shared_v"))
     a = ends.select(
