@@ -105,13 +105,14 @@ def connected_components(
             labels = ckpt.save(0, labels)
         else:
             labels = labels.transform(materialize)
-    # witness dispatch: the decimal label-mass sum needs numeric vertex ids;
-    # for string ids (e.g. entity graphs) fall back to the type-generic
-    # changed-row diff join — correct for any orderable type, one extra
-    # |V|-vs-|V| join per round on that (rare, small) input class
-    numeric_ids = _is_numeric(labels.schema["label"].dataType)
-    prev_sum = _label_mass(labels) if numeric_ids else None
-    prev_labels = labels
+    # witness dispatch: the decimal label-mass sum needs INTEGRAL vertex ids
+    # (a fractional id would round under the decimal(38,0) cast, so a real
+    # label change could alias to a zero mass delta and break the loop before
+    # the fixpoint); strings and fractional numerics fall back to the
+    # type-generic changed-row diff join — correct for any orderable type,
+    # one extra |V|-vs-|V| join per round on that (rare, small) input class
+    integral_ids = _is_integral(labels.schema["label"].dataType)
+    prev_sum = _label_mass(labels) if integral_ids else None
 
     for step in range(start_step + 1, max_iter + 1):
         nbr_min = (
@@ -137,37 +138,40 @@ def connected_components(
         if watch is not None:
             watch.increment("supersteps")
         with span("convergence_test"):
-            if numeric_ids:
+            if integral_ids:
                 new_sum = _label_mass(new_labels)
                 changed = int(prev_sum - new_sum)
                 prev_sum = new_sum
             else:
+                # `labels` still holds the previous round's table here
                 changed = (
                     new_labels.withColumnRenamed("label", "_nl")
-                    .join(prev_labels, "v")
+                    .join(labels, "v")
                     .filter(F.col("_nl") != F.col("label"))
                     .count()
                 )
         if history is not None:
             history.append({"step": step, "changed": changed})
         labels = new_labels
-        prev_labels = new_labels
         if changed == 0:
             break
 
     return labels.withColumnRenamed("label", "component")
 
 
-def _is_numeric(dt) -> bool:
-    from pyspark.sql.types import NumericType
+def _is_integral(dt) -> bool:
+    from pyspark.sql.types import DecimalType, IntegralType
 
-    return isinstance(dt, NumericType)
+    # scale-0 decimals are exact under the decimal(38,0) witness cast too
+    return isinstance(dt, IntegralType) or (
+        isinstance(dt, DecimalType) and dt.scale == 0
+    )
 
 
 def _label_mass(labels: DataFrame):
     """Σ label in exact decimal — the monotone convergence witness. One
     map-side-partial aggregate over the materialized label table (vs the
-    former |V|-vs-|V| equality join per round). Numeric vertex ids only —
-    cc() falls back to a diff join for other id types."""
+    former |V|-vs-|V| equality join per round). Integral vertex ids only —
+    cc() falls back to a diff join for string/fractional id types."""
     row = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()
     return row[0]["s"] or 0  # empty graph → NULL sum → 0

@@ -68,9 +68,21 @@ def stratified_sample(
     the group key, per-partition top-k via WindowGroupLimit (no full
     per-group sort materializes), zero RNG state — a SQL oracle reproduces
     the exact row set. The key is pre-reduced mod 2^31-1 so the Knuth product
-    stays in int64 in engines that trap overflow (DuckDB)."""
+    stays in int64 in engines that trap overflow (DuckDB).
+
+    The key must be non-null: a NULL key would hash NULL, sort before every
+    real hash (Spark nulls-first asc) with a NULL tie-break, and claim the
+    group's slots non-deterministically — so NULLs refuse loudly instead
+    (non-castable strings already trap at the ANSI cast)."""
+    key = F.col(key_col).cast("long")
+    checked = F.when(
+        key.isNull(),
+        F.raise_error(
+            F.lit(f"stratified_sample: {key_col} must be a non-null integer key")
+        ),
+    ).otherwise(key)
     h = F.pmod(
-        F.pmod(F.col(key_col).cast("long"), F.lit(2147483647)) * F.lit(_KNUTH),
+        F.pmod(checked, F.lit(2147483647)) * F.lit(_KNUTH),
         F.lit(1000000007),
     )
     w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())

@@ -336,13 +336,13 @@ def _video_frames_avi_numpy(buf: bytes):
     return out
 
 
-def _decode_real_video(buf: bytes, feat_dim: int) -> list[float]:
-    """Real video decode → normalized grayscale features of the TEMPORAL-MEAN
-    frame (deterministic, shape-independent of frame count). PyAV when
-    importable (any container/codec); the pure-numpy uncompressed-AVI decoder
-    otherwise — so a *real* video decode runs in codec-less containers."""
-    import numpy as np
-
+def _video_frames(buf: bytes) -> list:
+    """All decoded RGB frames of a video payload: PyAV when importable (any
+    container/codec), the pure-numpy uncompressed-AVI decoder otherwise.
+    Raises ImportError when the payload needs a codec this environment
+    lacks, ValueError when the payload is malformed or decodes to zero
+    frames (a structurally-valid container with an empty movi list would
+    otherwise surface as an opaque np.stack error downstream)."""
     try:
         import av  # guarded: present only in codec-equipped envs
         import io
@@ -356,6 +356,19 @@ def _decode_real_video(buf: bytes, feat_dim: int) -> list[float]:
             frames = _video_frames_avi_numpy(buf)
         else:
             raise
+    if not frames:
+        raise ValueError("video payload decoded to zero frames")
+    return frames
+
+
+def _decode_real_video(buf: bytes, feat_dim: int) -> list[float]:
+    """Real video decode → normalized grayscale features of the TEMPORAL-MEAN
+    frame (deterministic, shape-independent of frame count). PyAV when
+    importable (any container/codec); the pure-numpy uncompressed-AVI decoder
+    otherwise — so a *real* video decode runs in codec-less containers."""
+    import numpy as np
+
+    frames = _video_frames(buf)
     mean_rgb = np.mean(np.stack(frames).astype("float64"), axis=0)
     return _gray_band_feat(_gray(mean_rgb.astype("uint8")), feat_dim)
 
@@ -431,8 +444,13 @@ def decode_and_featurize(media: DataFrame, *, fake: bool = True, feat_dim: int =
                         feats.append(_decode_real_image(raw, feat_dim))
                     elif kind == "audio":
                         feats.append(_decode_real_audio(raw, feat_dim))
-                    else:
+                    elif kind == "video":
                         feats.append(_decode_real_video(raw, feat_dim))
+                    else:
+                        raise NotImplementedError(
+                            f"unsupported media kind {kind!r} "
+                            f"(expected image/audio/video)"
+                        )
                 except ImportError as exc:
                     raise NotImplementedError(
                         f"real {kind} decode needs its codec library on the "
@@ -545,8 +563,8 @@ def extract_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
             out = {"media_id": [], "frame_idx": [], "width": [], "height": [], "payload": []}
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    frames = _video_frames_avi_numpy(bytes(buf))
-                except ValueError as exc:
+                    frames = _video_frames(bytes(buf))
+                except ImportError as exc:
                     raise NotImplementedError(
                         f"real video decode needs PyAV for non-AVI containers: {exc}"
                     ) from exc

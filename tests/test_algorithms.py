@@ -90,6 +90,20 @@ def test_cc_two_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_cc_fractional_ids_take_diff_join_witness(spark):
+    """Fractional numeric vertex ids must NOT use the decimal(38,0) label-mass
+    witness: ids 0.25 apart all round to the same decimal, so a real label
+    change can alias to a zero mass delta and break the loop pre-fixpoint.
+    The dispatch routes them to the type-generic diff join — components on a
+    long path of fractional ids must still reach the true minimum."""
+    # path 1.25 - 1.5 - 1.75 - ... : every label rounds to 1 or 2
+    ids = [1.0 + 0.25 * i for i in range(12)]
+    el = [(ids[i], ids[i + 1], 1.0) for i in range(len(ids) - 1)]
+    df = spark.createDataFrame(el, "src double, dst double, w double")
+    got = {r["v"]: r["component"] for r in connected_components(spark, df).collect()}
+    assert got == {v: 1.0 for v in ids}
+
+
 def test_label_prop_exact_oracle(spark, rgraph):
     el, df = rgraph
     want = python_label_prop(el, iters=3)

@@ -14,6 +14,15 @@ def test_degrees(g5):
     # AlgorithmTest.java:555-559: d(v1)=3 d(v2)=3 d(v3)=3 d(v4)=2 d(v5)=1
     deg = {r["v"]: r["deg"] for r in degrees(symmetrize(g5), by="src").collect()}
     assert deg == {1: 3.0, 2: 3.0, 3: 3.0, 4: 2.0, 5: 1.0}
+    # weighted path (the degree_table_weighted rotation pin): unit weights
+    # make it equal the count path; doubled weights scale it exactly
+    wdeg = {r["v"]: r["deg"] for r in degrees(
+        symmetrize(g5), by="src", weighted=True).collect()}
+    assert wdeg == deg
+    from pyspark.sql import functions as F
+    doubled = symmetrize(g5).withColumn("w", F.col("w") * 2)
+    w2 = {r["v"]: r["deg"] for r in degrees(doubled, by="src", weighted=True).collect()}
+    assert w2 == {v: 2 * d for v, d in deg.items()}
 
 
 @pytest.mark.parametrize("orientation", ["id", "degree"])

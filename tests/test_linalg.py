@@ -123,6 +123,18 @@ def test_bernoulli_sample_deterministic(spark):
     assert 50 <= s1 <= 200  # ~10%
 
 
+def test_stratified_sample_refuses_null_keys(spark):
+    """A NULL key would hash NULL, sort before every real hash, and claim
+    the group's slots non-deterministically — the guard refuses loudly."""
+    from graphulo_spark.linalg import stratified_sample
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3)], "grp string, k long"
+    )
+    with pytest.raises(Exception, match="non-null integer key"):
+        stratified_sample(df, ["grp"], "k", 2).collect()
+
+
 def test_stratified_sample_matches_python_oracle(spark):
     from graphulo_spark.linalg import stratified_sample
 

@@ -336,6 +336,18 @@ def test_video_real_decode_and_frame_extraction(spark):
     for a, b in zip(frames, got):
         assert np.array_equal(a, b)
 
+    # a structurally-valid AVI with zero frames (strf header, empty movi)
+    # is a named decode error, not an opaque np.stack failure
+    import struct
+
+    from graphulo_spark.pipeline.multimodal import _video_frames
+
+    hdr = struct.pack("<IiiHHI", 40, 5, 6, 1, 24, 0) + b"\x00" * 20
+    strf = b"strf" + struct.pack("<I", len(hdr)) + hdr
+    body = b"AVI " + strf
+    with pytest.raises(ValueError, match="zero frames"):
+        _video_frames(b"RIFF" + struct.pack("<I", len(body)) + body)
+
     media = synthesize_real_media(spark, 12, include_video=True)  # ids 3,7,11 video
     vids = {r["media_id"]: bytes(r["payload"]) for r in media.collect() if r["kind"] == "video"}
     assert set(vids) == {3, 7, 11}
