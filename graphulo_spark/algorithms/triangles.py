@@ -25,10 +25,22 @@ from pyspark.sql import functions as F
 from graphulo_spark.linalg.edges import canonicalize, degrees, symmetrize
 
 
-def _oriented(edges: DataFrame, orientation: str) -> DataFrame:
+def _oriented(
+    edges: DataFrame, orientation: str, *, _cache_registry: list | None = None
+) -> DataFrame:
     canon = canonicalize(edges).select("src", "dst")
     if orientation == "id":
         return canon
+    # degree orientation references canon THREE times (itself, the degree
+    # table via symmetrize, the orientation join) — without a cache Spark
+    # re-executes the whole upstream edge derivation per reference (no
+    # common-subexpression reuse across join branches), which dominated the
+    # sf0.1 triangle count. CACHE OWNERSHIP: registered with the caller's
+    # _cache_registry when given, else lives until session end (the same
+    # contract as triangle_closers' oriented-edge cache).
+    canon = canon.cache()
+    if _cache_registry is not None:
+        _cache_registry.append(canon)
     # degree orientation: (deg, id) total order; edge points low → high
     sym = symmetrize(canon.withColumn("w", F.lit(1.0)))
     deg = degrees(sym, by="src")
@@ -89,7 +101,7 @@ def triangle_closers(
     ``triangle_count()``, which unpersists before returning."""
     # materialize once: e is referenced three times below, and without a
     # cache Spark re-executes the whole upstream derivation per reference
-    e = _oriented(edges, orientation).cache()
+    e = _oriented(edges, orientation, _cache_registry=_cache_registry).cache()
     if _cache_registry is not None:
         _cache_registry.append(e)
     if closer_strategy == "auto":
@@ -112,7 +124,9 @@ def triangle_count(
     all. shuffle path (huge |E|): pre-aggregate wedges by (a, c) before the
     distributed closer join, so the shuffle ships one (a, c, n) row per
     endpoint pair instead of one row per wedge."""
-    e = _oriented(edges, orientation).cache()
+    caches: list[DataFrame] = []
+    e = _oriented(edges, orientation, _cache_registry=caches).cache()
+    caches.append(e)
     try:
         m = e.count()
         if closer_strategy == "auto":
@@ -125,7 +139,8 @@ def triangle_count(
         )
         return int(total or 0)
     finally:
-        e.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def triangle_count_via_support(edges: DataFrame) -> int:
