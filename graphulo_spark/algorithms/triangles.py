@@ -176,8 +176,14 @@ def edge_support(edges: DataFrame, *, _cache_registry: list | None = None) -> Da
     consumes the plan can pass ``_cache_registry`` (a list) to receive the
     handles and unpersist them — see triangle_count_via_support."""
     canon = canonicalize(edges).select("src", "dst").cache()
+    # feed the CACHED canon (not the raw edges) into the closer derivation:
+    # canonicalize is idempotent and _oriented's degree table counts rows
+    # (not weights), so the triangle set is identical — but the upstream
+    # edge derivation now executes once instead of twice per pass
     tris = triangle_closers(  # cached: used by 3 union branches
-        edges, orientation="degree", _cache_registry=_cache_registry
+        canon.withColumn("w", F.lit(1.0)),
+        orientation="degree",
+        _cache_registry=_cache_registry,
     ).cache()
     if _cache_registry is not None:
         _cache_registry.extend([canon, tris])
