@@ -115,14 +115,17 @@ def connected_components(
     prev_sum = _label_mass(labels) if integral_ids else None
 
     for step in range(start_step + 1, max_iter + 1):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("v", "src"), "src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("label").alias("_nbr"))
+        # min(own label ∪ neighbor labels) as ONE aggregate: the label table
+        # rides into the same map-side-combined min as the gathered neighbor
+        # labels (its rows are their own partial mins), replacing the former
+        # per-round |V|-vs-|V| left join against the aggregated neighbor
+        # minima (r6; guide §2.4 — the union needs no exchange of its own,
+        # and least()/coalesce() completion logic disappears with the join)
+        gathered = sym.join(labels.withColumnRenamed("v", "src"), "src").select(
+            F.col("dst").alias("v"), "label"
         )
         new_labels = (
-            labels.join(nbr_min, "v", "left")
-            .select("v", F.least(F.col("label"), F.coalesce("_nbr", F.col("label"))).alias("label"))
+            gathered.unionByName(labels).groupBy("v").agg(F.min("label").alias("label"))
         )
         if shortcut:
             # pointer jump: label ← label(label). label values are vertex ids,

@@ -90,6 +90,22 @@ def _stable_partition_count(spark: SparkSession, pinned: bool):
         spark.conf.set(key, old)
 
 
+def _resolve_strategy(strategy: str, edge_layout: str) -> str:
+    """Loop-level auto resolution (r6, VERDICT r5 #1): inside pagerank the
+    edge table is the big, STATIC side of every superstep's join, so the
+    engine's measured-best plan is the resident shuffled-hash-join layout —
+    edges hash-partitioned on the gather key once, each superstep shuffling
+    only the O(|V|) rank vector (BENCH_r05: plain/resident 6.05M e/s vs the
+    old auto→broadcast 4.46M at sf0.1; and at huge |V| the old auto fell to
+    'salted', not the resident layout BENCH/BASELINE.md argues survives 10^9
+    vertices). A per-call spmv still resolves its own 'auto' by vector size
+    (broadcast/salted) — that remains right for one-shot products where no
+    layout investment can amortize; only the LOOP pins the resident plan."""
+    if strategy == "auto" and edge_layout == "resident":
+        return "plain"
+    return strategy
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,
@@ -130,6 +146,7 @@ def pagerank(
     is per-session; re-read the edge table on that session so all plans
     share it). The default (False) mutates nothing.
     """
+    strategy = _resolve_strategy(strategy, edge_layout)
     with _stable_partition_count(
         spark, stable_partitions and strategy == "plain" and edge_layout == "resident"
     ):

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphulo_spark.linalg.edges import canonicalize, degrees, symmetrize
+from graphulo_spark.linalg.edges import canonicalize
 
 
 def _oriented(
@@ -31,19 +31,29 @@ def _oriented(
     canon = canonicalize(edges).select("src", "dst")
     if orientation == "id":
         return canon
-    # degree orientation references canon THREE times (itself, the degree
-    # table via symmetrize, the orientation join) — without a cache Spark
-    # re-executes the whole upstream edge derivation per reference (no
-    # common-subexpression reuse across join branches), which dominated the
-    # sf0.1 triangle count. CACHE OWNERSHIP: registered with the caller's
+    # degree orientation references canon THREE times (both degree-union
+    # branches and the orientation join) — without a cache Spark re-executes
+    # the whole upstream edge derivation per reference (no common-
+    # subexpression reuse across join branches), which dominated the sf0.1
+    # triangle count. CACHE OWNERSHIP: registered with the caller's
     # _cache_registry when given, else lives until session end (the same
     # contract as triangle_closers' oriented-edge cache).
     canon = canon.cache()
     if _cache_registry is not None:
         _cache_registry.append(canon)
-    # degree orientation: (deg, id) total order; edge points low → high
-    sym = symmetrize(canon.withColumn("w", F.lit(1.0)))
-    deg = degrees(sym, by="src")
+    # degree orientation: (deg, id) total order; edge points low → high.
+    # Degree of v == its row count across both endpoint columns of the
+    # canonical table — a union of two single-column projections feeding one
+    # map-side-combined count, instead of the former symmetrize(canon) +
+    # degrees(by='src') which paid a full (src,dst)-keyed shuffle of 2|E|
+    # rows just to count neighbors (r6 opt; edge-set equality pinned in
+    # tests/test_algorithms.py).
+    deg = (
+        canon.select(F.col("src").alias("v"))
+        .unionAll(canon.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("double").alias("deg"))
+    )
     e = (
         canon.join(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "ds"), "src")
         .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "dd"), "dst")
@@ -69,14 +79,38 @@ def _closer(e: DataFrame) -> DataFrame:
     return e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
 
 
-# Closer-join strategy threshold, in ORIENTED-EDGE rows. The wedge table is
-# O(Σ d_out²) — at sf0.1 the copurchase graph makes 49M wedges from 1.2M
-# edges, and shuffling them to meet the closer set dominates the whole count.
-# Broadcasting the closer set instead filters wedges to actual triangles
-# INSIDE the wedge-join stage (zero post-wedge shuffle). A (src,dst) long-pair
-# hash of 4M edges is ~200-300 MB — the usual broadcast-dim budget on 4-8 GB
-# executors; above that, fall back to shuffling pre-aggregated wedge counts.
+# Closer-join strategy threshold, in ORIENTED-EDGE rows. Below it the count
+# runs as a broadcast forward-adjacency intersection (see _adjacency_triples):
+# the oriented out-neighbor lists (~16 B/edge — same budget class as a
+# broadcast closer-edge hash, the usual broadcast-dim allowance on 4-8 GB
+# executors) ship to every task and each oriented edge (a,b) emits
+# N⁺(a) ∩ N⁺(b) directly, so the O(Σ d_out²) wedge table (49M rows from
+# 1.2M edges at sf0.1 — it dominated the whole count through r5) is never
+# materialized: per-edge work is O(d⁺(a)+d⁺(b)) inside one codegen stage.
+# Above the threshold, fall back to the shuffled wedge path with wedge
+# counts pre-aggregated by (a, c) before the closer join.
 DEFAULT_CLOSER_BROADCAST_THRESHOLD = 4_000_000
+
+
+def _forward_adjacency(e: DataFrame) -> DataFrame:
+    """Out-neighbor lists of the oriented edge table: [_v, _nbrs]."""
+    return e.groupBy(F.col("src").alias("_v")).agg(F.collect_list("dst").alias("_nbrs"))
+
+
+def _edges_with_adjacency(e: DataFrame) -> DataFrame:
+    """Each oriented edge joined (broadcast) with BOTH endpoints' oriented
+    out-neighbor lists: [src, dst, _na, _nb]. The dst join is inner: an
+    endpoint with no out-edges closes no triangle (the wedge formulation
+    required the same e2.src match). Broadcast is explicit — the caller
+    gates on oriented-edge count, not on Spark's size estimate."""
+    adj = _forward_adjacency(e)
+    a = adj.select(F.col("_v").alias("_va"), F.col("_nbrs").alias("_na"))
+    b = adj.select(F.col("_v").alias("_vb"), F.col("_nbrs").alias("_nb"))
+    return (
+        e.join(F.broadcast(a), e["src"] == F.col("_va"))
+        .join(F.broadcast(b), e["dst"] == F.col("_vb"))
+        .select("src", "dst", "_na", "_nb")
+    )
 
 
 def triangle_closers(
@@ -90,9 +124,12 @@ def triangle_closers(
     """DataFrame of one row per triangle (a<b<c in the orientation order):
     columns (a, b, c). Exact, each triangle exactly once.
 
-    closer_strategy: 'broadcast' ships the closer edge set to every task (the
-    wedge never shuffles again), 'shuffle' joins distributed (any |E|),
-    'auto' picks by oriented-edge count vs ``broadcast_threshold``.
+    closer_strategy: 'broadcast' ships the oriented adjacency lists to every
+    task and intersects them per edge (wedges never materialize — each
+    surviving (a, b, c) is emitted straight from N⁺(a) ∩ N⁺(b), in exactly
+    the rows the wedge-join formulation produced), 'shuffle' joins wedges
+    against the closer set distributed (any |E|), 'auto' picks by
+    oriented-edge count vs ``broadcast_threshold``.
 
     CACHE OWNERSHIP: the returned plan references a cached oriented-edge
     table; the cache lives until the session ends or the caller clears it
@@ -106,8 +143,17 @@ def triangle_closers(
         _cache_registry.append(e)
     if closer_strategy == "auto":
         closer_strategy = "broadcast" if e.count() <= broadcast_threshold else "shuffle"
-    closer = F.broadcast(_closer(e)) if closer_strategy == "broadcast" else _closer(e)
-    return _wedges(e).join(closer, ["a", "c"], "inner")
+    if closer_strategy == "broadcast":
+        # (a,b) oriented edge, c ∈ N⁺(a) ∩ N⁺(b): b precedes c (c ∈ N⁺(b)),
+        # so the emitted (a,b,c) is orientation-ordered — identical to the
+        # wedge path's (e1.src, e1.dst, e2.dst) rows (equality pinned in
+        # tests/test_algorithms.py).
+        return _edges_with_adjacency(e).select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("_na", "_nb")).alias("c"),
+        )
+    return _wedges(e).join(_closer(e), ["a", "c"], "inner").select("a", "b", "c")
 
 
 def triangle_count(
@@ -119,11 +165,13 @@ def triangle_count(
 ) -> int:
     """Total exact triangle count (parity: AlgorithmTest.java:259 == 2).
 
-    broadcast closer path (|E| under threshold): wedges surviving the
-    broadcast join ARE triangles — a plain count, no aggregation shuffle at
-    all. shuffle path (huge |E|): pre-aggregate wedges by (a, c) before the
-    distributed closer join, so the shuffle ships one (a, c, n) row per
-    endpoint pair instead of one row per wedge."""
+    broadcast path (|E| under threshold): one broadcast-adjacency join and a
+    single scalar aggregate Σ |N⁺(a) ∩ N⁺(b)| over oriented edges — wedges
+    never materialize (49M rows at sf0.1 through r5; see
+    DEFAULT_CLOSER_BROADCAST_THRESHOLD). shuffle path (huge |E|):
+    pre-aggregate wedges by (a, c) before the distributed closer join, so
+    the shuffle ships one (a, c, n) row per endpoint pair instead of one
+    row per wedge."""
     caches: list[DataFrame] = []
     e = _oriented(edges, orientation, _cache_registry=caches).cache()
     caches.append(e)
@@ -132,7 +180,12 @@ def triangle_count(
         if closer_strategy == "auto":
             closer_strategy = "broadcast" if m <= broadcast_threshold else "shuffle"
         if closer_strategy == "broadcast":
-            return int(_wedges(e).join(F.broadcast(_closer(e)), ["a", "c"], "inner").count())
+            row = (
+                _edges_with_adjacency(e)
+                .agg(F.sum(F.size(F.array_intersect("_na", "_nb"))).alias("t"))
+                .collect()[0]
+            )
+            return int(row["t"] or 0)
         wedge_counts = _wedges(e).groupBy("a", "c").agg(F.count("*").alias("n"))
         total = (
             wedge_counts.join(_closer(e), ["a", "c"]).agg(F.sum("n").alias("t")).collect()[0]["t"]

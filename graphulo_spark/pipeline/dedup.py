@@ -26,7 +26,35 @@ from pyspark.sql import functions as F
 WS = r"\s+"
 
 
-def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def _spread(docs: DataFrame) -> DataFrame:
+    """Input-parallelism guard (guide §2.5: one huge unsplittable input —
+    repartition immediately after the read). A small corpus often arrives as
+    a single unsplittable parquet task (one file, one row group), and then
+    every CPU-heavy expression upstream of the first exchange — shingle
+    construction, per-shingle hashing, token bit votes — runs on ONE core
+    regardless of cluster size; the bytes are tiny precisely because the
+    compute-per-byte is enormous, so AQE's byte-based coalescing cannot see
+    the problem either. When the input's partition count is below the
+    session's parallelism, pay one round-robin exchange of the raw doc rows
+    (deterministic: sortBeforeRepartition is on by default) to unlock every
+    core. At corpus scale the scan already carries >= parallelism partitions
+    and this is an exact no-op. Only order-independent consumers (min/count
+    aggregates, equi-joins) sit downstream in this module, so results are
+    unchanged by construction."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    *,
+    distinct: bool = True,
+) -> DataFrame:
     """Word n-gram shingles: DataFrame[id, shingle] (distinct per doc).
 
     Tokenizes trim()med text: split() keeps leading/trailing empty tokens,
@@ -35,17 +63,21 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     Docs with fewer than n tokens yield ZERO shingles (empty array) — without
     the guard, sequence(1, 0) = [1, 0] descends and slice(toks, 0, n) raises
     INVALID_PARAMETER_VALUE.START; the oracle's CASE ... ELSE [] branch
-    encodes the same zero-shingle semantics."""
+    encodes the same zero-shingle semantics.
+
+    ``distinct=False`` skips the per-doc dedup exchange — correct for
+    consumers folding an idempotent aggregate per doc (min-hash: min over
+    duplicates == min over distinct), which then see map-side partial
+    aggregation instead of a full shuffle of the shingle stream (guide
+    §2.3 'aggregate before you shuffle')."""
     toks = F.split(F.trim(F.col(text_col)), WS)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     sh = F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = _spread(docs).select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -113,7 +145,11 @@ def minhash_signatures(
     the aggregate. Measured ~20% faster end-to-end at sf0.1 (alternating A/B,
     idle box: 3.1 s vs 3.9 s) — the query is dominated by the shingle explode
     and shuffle, not the hash kernel — and its band keys stay integers."""
-    sh = shingles(docs, text_col, id_col, n)
+    # distinct=False (r6): min over duplicate shingles == min over distinct,
+    # so the per-doc dedup exchange was pure overhead — the groupBy below
+    # partial-aggregates its k mins map-side and shuffles |docs|·k partials
+    # instead of the whole shingle stream (guide §2.3)
+    sh = shingles(docs, text_col, id_col, n, distinct=False)
     if hash_family == "xxhash64":
         aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}") for i in range(k)]
     else:
@@ -168,7 +204,7 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", 
     Uses the first ``bits`` bits of md5(token) (portable: hex substring →
     BIGINT both in Spark and DuckDB). Near-dups have small Hamming distance.
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), WS)).alias("tok"),
     )

@@ -138,6 +138,34 @@ def test_triangles_random_oracle(spark, rgraph):
     assert triangle_count(df, orientation="id") == python_triangles(el)
 
 
+def test_triangle_closers_intersect_equals_wedge_path(spark, rgraph, g5):
+    """r6 opt pin: the broadcast path emits triangles via per-edge
+    N⁺(a) ∩ N⁺(b) adjacency intersection (wedges never materialize); it must
+    produce the exact (a, b, c) triple SET of the shuffled wedge-join path,
+    under both orientations, and the scalar counts must agree too."""
+    from graphulo_spark.algorithms.triangles import triangle_closers
+
+    _, rdf = rgraph
+    for df in (g5, rdf):
+        for orientation in ("degree", "id"):
+            fast = {
+                (r["a"], r["b"], r["c"])
+                for r in triangle_closers(
+                    df, orientation=orientation, closer_strategy="broadcast"
+                ).collect()
+            }
+            slow = {
+                (r["a"], r["b"], r["c"])
+                for r in triangle_closers(
+                    df, orientation=orientation, closer_strategy="shuffle"
+                ).collect()
+            }
+            assert fast == slow and len(fast) == len(slow)
+            assert triangle_count(df, orientation, closer_strategy="broadcast") == triangle_count(
+                df, orientation, closer_strategy="shuffle"
+            )
+
+
 def test_bfs(spark, g5):
     got = {r["v"]: r["dist"] for r in adj_bfs(spark, g5, [5], k=2).collect()}
     # undirected: 5 -> 2 -> {1,3}; dist(5)=0, dist(2)=1, dist(1)=dist(3)=2

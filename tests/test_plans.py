@@ -121,6 +121,36 @@ def test_spmv_plain_reuses_prepartitioned_edges(spark):
         ep.unpersist()
 
 
+def test_pagerank_auto_resolves_to_resident_shj_plan(spark, rgraph=None):
+    """r6 (VERDICT r5 #1): pagerank's no-flags default must resolve to the
+    engine's measured-best plan — the resident shuffled-hash-join layout —
+    whenever the loop re-uses the edge table (edge_layout='resident', the
+    default). Pins both the pure resolution and end-to-end result equality
+    of the default against an explicit strategy='plain' run."""
+    from pyspark.sql import functions as F
+
+    from graphulo_spark.algorithms import pagerank
+    from graphulo_spark.algorithms.pagerank import _resolve_strategy
+
+    assert _resolve_strategy("auto", "resident") == "plain"
+    # a non-resident layout keeps per-call auto (spmv picks by vector size)
+    assert _resolve_strategy("auto", "shuffle") == "auto"
+    # explicit strategies are never overridden
+    assert _resolve_strategy("broadcast", "resident") == "broadcast"
+    assert _resolve_strategy("salted", "resident") == "salted"
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 2.0), (4, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    auto = {r["v"]: r["rank"] for r in pagerank(spark, e, tol=0.0, max_iter=3).collect()}
+    plain = {
+        r["v"]: r["rank"]
+        for r in pagerank(spark, e, tol=0.0, max_iter=3, strategy="plain").collect()
+    }
+    assert auto == plain  # bitwise: same plan, same floating-point order
+
+
 def test_triangle_closer_broadcast_filters_wedges_in_stage(spark):
     """Under the broadcast threshold, the closer join must be a
     BroadcastHashJoin: the O(Σd²) wedge table is filtered to triangles inside
