@@ -111,6 +111,24 @@ def test_label_prop_exact_oracle(spark, rgraph):
     assert got == want
 
 
+def test_label_prop_hub_takes_two_exchange_fallback(spark):
+    """r6 skew gate: a hub whose in-degree exceeds the hot threshold
+    (max(1000, |E|/(4·parts))) must push LP off the single-shuffle vote plan
+    onto the (dst,label)-keyed two-exchange fallback — and the result must
+    still match the python oracle (same winner rule on either plan)."""
+    from graphulo_spark.algorithms.label_prop import _single_shuffle_votes
+
+    el = [(i, 0, 1.0) for i in range(1, 1202)] + [(1, 2, 5.0), (3, 4, 5.0)]
+    # the hub (in-degree 1201 after symmetrize) must trip the gate...
+    assert not _single_shuffle_votes(1201, 2 * len(el), 32)
+    # ...which a hub-free graph of the same size does not
+    assert _single_shuffle_votes(120, 2 * len(el), 32)
+    df = spark.createDataFrame(el, "src long, dst long, w double")
+    want = python_label_prop(el, iters=2)
+    got = {r["v"]: r["label"] for r in label_propagation(spark, df, iters=2).collect()}
+    assert got == want
+
+
 def test_label_prop_deterministic(spark, rgraph):
     _, df = rgraph
     a = {r["v"]: r["label"] for r in label_propagation(spark, df, iters=4).collect()}
