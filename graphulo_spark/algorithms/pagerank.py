@@ -44,6 +44,20 @@ from graphulo_spark.materialize import materialize
 from graphulo_spark.checkpoint import SuperstepCheckpointer, input_fingerprint
 from graphulo_spark.linalg.spmv import spmv, spmv_arrow
 
+# How many supersteps to chain into one materialization job in bare
+# fixed-iteration mode (see the fusion gate in _pagerank_loop). A bare-loop
+# prototype measured 4.50/4.00/3.61 s for {1,2,5} at sf0.1, but on the real
+# loop an interleaved A/B came out neutral-to-negative (fuse=1 median 6.37 /
+# min 5.48 vs fuse=5 6.54/6.08 in the same window): the materialized
+# per-superstep state carries its hash(v) partitioning into the next join
+# (exchange elided, plan-asserted in tests/test_plans.py), while a fused
+# chain's INTERMEDIATE aggregates are AQE-coalesced by their tiny byte size
+# and re-exchange the vector each step — the job-count saving buys nothing.
+# Default 1 (= r5 behavior); the machinery and its single-reference gate
+# stay tested so the constant is a safe lever on job-overhead-dominated
+# deployments.
+DEFAULT_SUPERSTEP_FUSE = 1
+
 
 def _normalized_edges(edges: DataFrame) -> DataFrame:
     """nw(src,dst) = w / Σ_dst w(src,·) — row-stochastic transition weights."""
@@ -307,9 +321,70 @@ def _pagerank_loop(
             .collect()
         ]
 
+    # Superstep fusion (r6): in bare fixed-iteration mode, chain several
+    # superstep plans into ONE materialization job — same arithmetic, fewer
+    # actions, so the per-job fixed costs (AQE re-planning, scheduling, the
+    # checkpoint round-trip) are paid once per group instead of once per
+    # superstep (interleaved A/B at sf0.1: 10×1 jobs 4.50 s vs 2×5 3.61 s;
+    # at cluster scale per-superstep compute dominates and fusion is
+    # neutral). Fusing is valid ONLY when the chained plan references the
+    # previous state exactly once — a dangling-mass branch or a hot-key
+    # split would re-execute the whole unmaterialized chain per reference
+    # (exponential in fuse depth) — and only when nothing needs a per-
+    # superstep boundary: no convergence test (tol<=0), no checkpoint
+    # saves, no history/watch instrumentation, not the arrow path (its
+    # driver round-trip IS the superstep boundary).
+    fuse = 1
+    if (
+        ckpt is None
+        and tol <= 0.0
+        and history is None
+        and watch is None
+        and not use_arrow
+        and n_dangling == 0
+        and not hot_keys
+    ):
+        fuse = DEFAULT_SUPERSTEP_FUSE
+
     span = watch.span if watch is not None else (lambda _name: nullcontext())
     sc = spark.sparkContext
-    for step in range(start_step + 1, max_iter + 1):
+
+    def _plan_step(r: DataFrame) -> DataFrame:
+        """One superstep as a pure plan over rank state ``r`` (non-arrow)."""
+        contrib = spmv(
+            norm_edges,
+            r,
+            strategy=strategy,
+            vec_count=n,
+            drop_zeros=False,
+            hot_keys=hot_keys or None,
+        )
+        pre = contrib
+        if n_noin > 0:
+            pre = pre.unionByName(noin_vs.select("v", F.lit(0.0).alias("x")))
+        if n_dangling == 0:
+            return pre.select(
+                "v", (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.col("x")).alias("x")
+            )
+        # dangling mass enters the plan as a broadcast single-row cross
+        # join — no driver round-trip, so fixed-iteration mode runs exactly
+        # ONE action per superstep (the state materialization)
+        dang = r.join(dangling_vs, "v", "left_semi").agg(
+            F.coalesce(F.sum("x"), F.lit(0.0)).alias("_dm")
+        )
+        return pre.crossJoin(F.broadcast(dang)).select(
+            "v",
+            (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha) * F.col("_dm") / F.lit(float(n))
+                + F.lit(alpha) * F.col("x")
+            ).alias("x"),
+        )
+
+    step = start_step
+    while step < max_iter:
+        take = min(fuse, max_iter - step)
+        step += take
         if use_arrow:
             import numpy as np
 
@@ -318,41 +393,34 @@ def _pagerank_loop(
             rvec[pdf["vi"].to_numpy()] = pdf["x"].to_numpy()
             b = sc.broadcast(rvec)
             contrib = spmv_arrow(edges_idx, b).join(vidx, "vi").select("v", "x")
+            pre = contrib
+            if n_noin > 0:
+                pre = pre.unionByName(noin_vs.select("v", F.lit(0.0).alias("x")))
+            if n_dangling == 0:
+                new_ranks = pre.select(
+                    "v", (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.col("x")).alias("x")
+                )
+            else:
+                dang = ranks.join(dangling_vs, "v", "left_semi").agg(
+                    F.coalesce(F.sum("x"), F.lit(0.0)).alias("_dm")
+                )
+                new_ranks = pre.crossJoin(F.broadcast(dang)).select(
+                    "v",
+                    (
+                        F.lit((1.0 - alpha) / n)
+                        + F.lit(alpha) * F.col("_dm") / F.lit(float(n))
+                        + F.lit(alpha) * F.col("x")
+                    ).alias("x"),
+                )
         else:
-            contrib = spmv(
-                norm_edges,
-                ranks,
-                strategy=strategy,
-                vec_count=n,
-                drop_zeros=False,
-                hot_keys=hot_keys or None,
-            )
-
-        pre = contrib
-        if n_noin > 0:
-            pre = pre.unionByName(noin_vs.select("v", F.lit(0.0).alias("x")))
-        if n_dangling == 0:
-            new_ranks = pre.select(
-                "v", (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.col("x")).alias("x")
-            )
-        else:
-            # dangling mass enters the plan as a broadcast single-row cross
-            # join — no driver round-trip, so fixed-iteration mode runs exactly
-            # ONE action per superstep (the state materialization)
-            dang = ranks.join(dangling_vs, "v", "left_semi").agg(
-                F.coalesce(F.sum("x"), F.lit(0.0)).alias("_dm")
-            )
-            new_ranks = pre.crossJoin(F.broadcast(dang)).select(
-                "v",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha) * F.col("_dm") / F.lit(float(n))
-                    + F.lit(alpha) * F.col("x")
-                ).alias("x"),
-            )
+            new_ranks = ranks
+            for _fused in range(take):
+                new_ranks = _plan_step(new_ranks)
 
         # Watch span parity (skvi/Watch.java): the state materialization is
         # the one action per superstep — timing it times the superstep
+        # (a fused group is one job; the gate above guarantees watch is
+        # None whenever take > 1, so span granularity never changes)
         with span("superstep"):
             new_ranks = ckpt.save(step, new_ranks) if ckpt else new_ranks.transform(materialize)
         if watch is not None:

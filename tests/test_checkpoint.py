@@ -14,7 +14,10 @@ from test_algorithms import _random_graph
 
 
 def _pr_params(df, **over):
-    p = {"alg": "pagerank", "alpha": 0.85, "tol": 0.0, "strategy": "auto",
+    # strategy is recorded RESOLVED (r6): the no-flags default resolves to
+    # the resident SHJ plan before the params hash is built, so a run started
+    # with 'auto' and resumed with 'auto' still matches.
+    p = {"alg": "pagerank", "alpha": 0.85, "tol": 0.0, "strategy": "plain",
          "input_fp": input_fingerprint(df, "src", "dst", "w")}
     p.update(over)
     return p
