@@ -36,8 +36,14 @@ def adj_bfs(
     the degree gate applies to the node being traversed through, not to the
     nodes reached).
     """
+    # loop-scoped caches, released on exit (r6, VERDICT r5 #5): every round's
+    # state is materialize()d — lineage-truncated — so the returned plan
+    # never depends on these (except the trivial 0-round case, which simply
+    # recomputes from the seed list)
+    caches: list[DataFrame] = []
     g = edges if directed else symmetrize(edges)
     g = g.select("src", "dst").cache()
+    caches.append(g)
 
     if isinstance(seeds, DataFrame):
         frontier = seeds.select(F.col(seeds.columns[0]).cast("long").alias("v")).distinct()
@@ -52,24 +58,32 @@ def adj_bfs(
         if max_degree is not None:
             deg = deg.filter(F.col("deg") <= max_degree)
         deg = deg.select("v").cache()
+        caches.append(deg)
 
     visited = frontier.select("v", F.lit(0).alias("dist")).cache()
     frontier = frontier.cache()
+    caches += [visited, frontier]
 
-    for step in range(1, k + 1):
-        expandable = frontier if deg is None else frontier.join(deg, "v", "left_semi")
-        reached = (
-            g.join(expandable.withColumnRenamed("v", "src"), "src")
-            .select(F.col("dst").alias("v"))
-            .distinct()
-        )
-        new_frontier = reached.join(visited, "v", "left_anti").transform(materialize)
-        if new_frontier.count() == 0:
-            break
-        visited = visited.unionByName(new_frontier.select("v", F.lit(step).alias("dist"))).transform(materialize)
-        frontier = new_frontier
+    try:
+        for step in range(1, k + 1):
+            expandable = frontier if deg is None else frontier.join(deg, "v", "left_semi")
+            reached = (
+                g.join(expandable.withColumnRenamed("v", "src"), "src")
+                .select(F.col("dst").alias("v"))
+                .distinct()
+            )
+            new_frontier = reached.join(visited, "v", "left_anti").transform(materialize)
+            if new_frontier.count() == 0:
+                break
+            visited = visited.unionByName(
+                new_frontier.select("v", F.lit(step).alias("dist"))
+            ).transform(materialize)
+            frontier = new_frontier
 
-    return visited
+        return visited
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def single_bfs(
@@ -91,6 +105,8 @@ def single_bfs(
     every vertex reached within k hops — identical to adj_bfs (asserted in
     tests, the reference's cross-implementation equality pattern).
     """
+    # loop-scoped edge cache, released on exit (r6, VERDICT r5 #5): dist is
+    # materialize()d every step, so the returned plan never references it
     g = edges if directed else symmetrize(edges)
     g = g.select("src", "dst").cache()
 
@@ -100,21 +116,24 @@ def single_bfs(
         dist = spark.createDataFrame([(int(s),) for s in seeds], "v long")
     dist = dist.select("v", F.lit(0).alias("dist")).transform(materialize)
 
-    for _step in range(1, k + 1):
-        relaxed = (
-            g.join(dist.withColumnRenamed("v", "src"), "src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg((F.min("dist") + 1).alias("_nd"))
-        )
-        dist = (
-            dist.join(relaxed, "v", "full")
-            .select(
-                "v",
-                F.least(
-                    F.coalesce("dist", F.lit(1 << 30)), F.coalesce("_nd", F.lit(1 << 30))
-                ).alias("dist"),
+    try:
+        for _step in range(1, k + 1):
+            relaxed = (
+                g.join(dist.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg((F.min("dist") + 1).alias("_nd"))
             )
-            .transform(materialize)
-        )
+            dist = (
+                dist.join(relaxed, "v", "full")
+                .select(
+                    "v",
+                    F.least(
+                        F.coalesce("dist", F.lit(1 << 30)), F.coalesce("_nd", F.lit(1 << 30))
+                    ).alias("dist"),
+                )
+                .transform(materialize)
+            )
 
-    return dist
+        return dist
+    finally:
+        g.unpersist()

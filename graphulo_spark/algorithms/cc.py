@@ -68,9 +68,13 @@ def connected_components(
     overrides the checkpoint input fingerprint (pass the Iceberg snapshot
     fingerprint for catalog-table-derived edges — no data scan).
 
-    ``history`` entries record ``{"step", "changed"}`` where ``changed`` is
-    the round's *label-mass delta* Σ label_{k-1} − Σ label_k (0 ⟺ fixpoint;
-    see module docstring), not a changed-row count."""
+    ``history`` entries record ``{"step", "changed"}``; what ``changed``
+    measures follows the witness in use (0 ⟺ fixpoint either way): for
+    INTEGRAL vertex ids it is the round's *label-mass delta*
+    Σ label_{k-1} − Σ label_k (see module docstring), while the
+    string/fractional-id fallback records a *changed-row count* from the
+    diff join — history consumers comparing magnitudes across id types
+    would be comparing different quantities."""
     ckpt = None
     if checkpoint_dir:
         params = {

@@ -24,6 +24,7 @@ def jaccard(
     *,
     vertex_count: int | None = None,
     broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+    _cache_registry: list | None = None,
 ) -> DataFrame:
     """DataFrame[src, dst, jaccard] for all pairs src<dst with ≥1 common
     neighbor (simple graph semantics: weights ignored).
@@ -35,12 +36,20 @@ def jaccard(
     side is genuinely small, without risking a 10⁹-row driver collect.
     (JaccardDegreeApply.java:66-80 holds the whole degree map in RAM only
     because Accumulo iterators have no distributed-join alternative.)
+
+    CACHE OWNERSHIP: the returned plan references a cached symmetrized edge
+    table (three join branches); the cache lives until the session ends or
+    the caller clears it. A caller that fully consumes the plan can pass
+    ``_cache_registry`` (a list) to receive the handle and unpersist it —
+    the same contract as triangle_closers/edge_support.
     """
     sym = (
         symmetrize(edges.select("src", "dst", F.lit(1.0).alias("w")), combine="min")
         .select("src", "dst")
         .cache()  # referenced by both wedge sides and the degree table
     )
+    if _cache_registry is not None:
+        _cache_registry.append(sym)
     # wedges centered at k: neighbor pairs (u < v)
     n1 = sym.select(F.col("src").alias("k"), F.col("dst").alias("u"))
     n2 = sym.select(F.col("src").alias("k"), F.col("dst").alias("v"))

@@ -123,9 +123,13 @@ def label_propagation(
         # String vertex ids have no cheap order inversion for the tie-break,
         # so they keep the sort-window argmax (entity graphs — small |V|).
         if numeric_ids:
+            # min_by over (-weight, label): heaviest vote, smallest label on
+            # ties. The weight (a double) is what gets negated — exact and
+            # overflow-free — instead of the label, whose negation would
+            # overflow for a Long.MIN_VALUE vertex id (ADVICE r5).
             new_labels = votes.groupBy("v").agg(
-                F.max_by(
-                    "label", F.struct(F.col("_wt"), (-F.col("label")).alias("_nl"))
+                F.min_by(
+                    "label", F.struct((-F.col("_wt")).alias("_nw"), F.col("label"))
                 ).alias("label")
             )
         else:

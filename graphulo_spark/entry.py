@@ -742,11 +742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries of this dict, so everything below this line is redundant-
     # by-design with a sibling that keeps a driver row, and is additionally
     # pinned by a pytest cross-implementation equality test:
-    #   spgemm_rowop          == spgemm_tablemult  (tests/test_rowmult.py)
-    #   single_bfs_2hop       == adj_bfs_2hop      (tests/test_graphulo.py)
-    #   ktruss_edge_3         == ktruss_3          (tests/test_graphulo5.py)
-    #   triangle_count_adjedge== triangle_count    (tests/test_graphulo5.py)
-    #   pagerank_5iter_salted/_arrow == pagerank_5iter (tests/test_pagerank.py)
+    #   spgemm_rowop          == spgemm_tablemult  (tests/test_linalg.py)
+    #   single_bfs_2hop       == adj_bfs_2hop      (tests/test_algorithms.py)
+    #   ktruss_edge_3         == ktruss_3          (tests/test_algorithms.py)
+    #   triangle_count_adjedge== triangle_count    (tests/test_algorithms.py)
+    #   pagerank_5iter_salted/_arrow == pagerank_5iter (tests/test_algorithms.py)
     #   degree_table_weighted ~ degree_table (same degrees() kernel, weighted
     #     flag; golden-pinned in tests/test_graphulo5.py::test_degrees —
     #     rotated below in r5 to make room for dedup_clusters)

@@ -73,7 +73,13 @@ def stratified_sample(
     The key must be non-null: a NULL key would hash NULL, sort before every
     real hash (Spark nulls-first asc) with a NULL tie-break, and claim the
     group's slots non-deterministically — so NULLs refuse loudly instead
-    (non-castable strings already trap at the ANSI cast)."""
+    (non-castable strings already trap at the ANSI cast).
+
+    PRECONDITION (ADVICE r5): ``key_col`` must be unique within each group —
+    duplicate key values tie fully in (hash, key), so row_number would pick
+    among otherwise-different rows by physical order, which varies across
+    runs/plans. Pass a row-unique id (doc id, event id), not a payload
+    column."""
     key = F.col(key_col).cast("long")
     checked = F.when(
         key.isNull(),
