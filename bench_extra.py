@@ -45,17 +45,84 @@ def _headline_frames(spark, sf_dir=SF_DIR):
     edges = symmetrize(copurchase_edges(spark, sf_dir)).localCheckpoint()
 
     def tri_plan():
-        caches: list = []
+        return triangles.triangle_closers(edges, orientation="degree")
+
+    def pr_superstep_kernel():
+        """The resident-layout superstep as a pure plan (pagerank() itself
+        materializes eagerly, so its end plan is just a checkpoint scan)."""
         from pyspark.sql import functions as F
 
-        e = triangles._oriented(edges, "degree", _cache_registry=caches)
-        return triangles._wedges(e).join(
-            F.broadcast(triangles._closer(e)), ["a", "c"], "inner"
+        from graphulo_spark.linalg.spmv import spmv
+        from graphulo_spark.materialize import materialize
+
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ow = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
+        ne = (
+            edges.join(ow, "src")
+            .select("src", "dst", (F.col("w") / F.col("_ow")).alias("w"))
+            .repartition(n_parts, "src")
+        )
+        n = 1000
+        ranks = (
+            edges.select(F.col("src").alias("v")).distinct()
+            .select("v", F.lit(1.0 / n).alias("x"))
+            .transform(materialize)
+        )
+        contrib = spmv(ne, ranks, strategy="plain", drop_zeros=False)
+        return contrib.select("v", (F.lit(0.15 / n) + F.lit(0.85) * F.col("x")).alias("x"))
+
+    def lp_superstep_kernel():
+        """One LP superstep under the single-shuffle vote plan."""
+        from pyspark.sql import functions as F
+
+        from graphulo_spark.materialize import materialize
+
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        sym = edges.repartition(n_parts, "src")
+        labels = (
+            edges.select(F.col("src").alias("v")).distinct()
+            .select("v", F.col("v").alias("label"))
+            .transform(materialize)
+        )
+        votes = (
+            sym.join(labels.withColumnRenamed("v", "src"), "src")
+            .select("dst", "label", "w")
+            .repartition(n_parts, "dst")
+            .groupBy(F.col("dst").alias("v"), "label")
+            .agg(F.sum("w").alias("_wt"))
+        )
+        return votes.groupBy("v").agg(
+            F.min_by("label", F.struct((-F.col("_wt")).alias("_nw"), F.col("label"))).alias("label")
+        )
+
+    def cc_round_kernel():
+        """One CC round: gather ∪ self-labels → one min aggregate + jump."""
+        from pyspark.sql import functions as F
+
+        from graphulo_spark.materialize import materialize
+
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        sym = edges.select("src", "dst").repartition(n_parts, "src")
+        labels = (
+            edges.select(F.col("src").alias("v")).distinct()
+            .select("v", F.col("v").alias("label"))
+            .transform(materialize)
+        )
+        gathered = sym.join(labels.withColumnRenamed("v", "src"), "src").select(
+            F.col("dst").alias("v"), "label"
+        )
+        new_labels = gathered.unionByName(labels).groupBy("v").agg(F.min("label").alias("label"))
+        lut = new_labels.select(F.col("v").alias("_pv"), F.col("label").alias("_pl"))
+        return new_labels.join(lut, new_labels["label"] == lut["_pv"], "left").select(
+            "v", F.coalesce("_pl", "label").alias("label")
         )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return {
+        "pagerank_superstep_kernel": pr_superstep_kernel,
+        "lp_superstep_kernel": lp_superstep_kernel,
+        "cc_round_kernel": cc_round_kernel,
         "edge_derivation": lambda: symmetrize(copurchase_edges(spark, sf_dir)),
         "pagerank_10iter": lambda: pagerank(spark, edges, tol=0.0, max_iter=10, strategy="auto"),
         "pagerank_10iter_plain": lambda: pagerank(

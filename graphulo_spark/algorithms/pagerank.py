@@ -243,9 +243,27 @@ def _pagerank_loop(
         vertices = vertices.cache()
         norm_edges = _layout(_normalized_edges(edges))
 
-    n = vertices.count()
+    # ONE setup job for |V|, dangling count, and no-in-edge count (r6): the
+    # former three separate actions (a count plus two cached anti-join
+    # counts) each paid their own scheduling/AQE round — here the two
+    # endpoint-presence flags ride a single aggregate over the vertex set,
+    # and the cached anti-join side tables are built only for the nonzero
+    # cases (zero for any symmetrized graph — the common loop input).
+    outs = norm_edges.select(F.col("src").alias("v")).distinct()
+    ins = norm_edges.select(F.col("dst").alias("v")).distinct()
+    stats = (
+        vertices.join(outs.withColumn("_o", F.lit(1)), "v", "left")
+        .join(ins.withColumn("_i", F.lit(1)), "v", "left")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.when(F.col("_o").isNull(), 1)), F.lit(0)).alias("nd"),
+            F.coalesce(F.sum(F.when(F.col("_i").isNull(), 1)), F.lit(0)).alias("nni"),
+        )
+        .collect()[0]
+    )
+    n = stats["n"]
     if n == 0:
-        return vertices.withColumn("rank", F.lit(0.0))
+        return vertices.select("v").withColumn("rank", F.lit(0.0))
 
     start_step = 0
     ranks = None
@@ -286,20 +304,15 @@ def _pagerank_loop(
         )
         edges_idx.count()
 
-    # dangling vertex set (no out-edges), computed ONCE: per-superstep dangling
-    # mass is then a cheap |V|-row semi-join + sum instead of a second pass
-    # over the contributions (which would re-execute the SpMV)
-    dangling_vs = vertices.join(
-        norm_edges.select(F.col("src").alias("v")).distinct(), "v", "left_anti"
-    ).cache()
-    n_dangling = dangling_vs.count()
-    # no-in-edge vertex set, computed ONCE: contributions cover exactly the
-    # complement, so new ranks are contrib ∪ noin — a union instead of a
-    # per-superstep |V|-vs-|V| sort-merge join against the vertex table
-    noin_vs = vertices.join(
-        norm_edges.select(F.col("dst").alias("v")).distinct(), "v", "left_anti"
-    ).cache()
-    n_noin = noin_vs.count()
+    # dangling vertex set (no out-edges) and no-in-edge vertex set, built
+    # (and cached) ONLY when the setup aggregate saw any: per-superstep
+    # dangling mass is then a cheap |V|-row semi-join + sum instead of a
+    # second pass over the contributions, and new ranks are contrib ∪ noin —
+    # a union instead of a per-superstep |V|-vs-|V| join against vertices
+    n_dangling = int(stats["nd"])
+    n_noin = int(stats["nni"])
+    dangling_vs = vertices.join(outs, "v", "left_anti").cache() if n_dangling else None
+    noin_vs = vertices.join(ins, "v", "left_anti").cache() if n_noin else None
 
     # hub-vertex set, computed ONCE from the static degree distribution:
     # sources owning more than ~1/(4·partitions) of all edges would make one
@@ -307,19 +320,23 @@ def _pagerank_loop(
     # the hub slice of the rank vector instead (see linalg.spmv hot_keys —
     # the Graphulo power-law-split idea, Graphulo.java:2701-2739, applied to
     # the join). Bounded: at most 4·partitions keys can exceed the threshold.
+    # ONE degree pass answers |E| and max-degree together (r6 — the former
+    # norm_edges.count() pass is folded into the aggregate); the hub LIST is
+    # collected only when the max exceeds the threshold, so the hub-free
+    # common case pays one job here, not two.
     hot_keys: list[int] = []
     if strategy in ("plain", "auto"):
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        m_edges = norm_edges.count()
-        hot_thr = max(1000, m_edges // (4 * n_parts))
-        hot_keys = [
-            r["src"]
-            for r in norm_edges.groupBy("src")
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") > hot_thr)
-            .select("src")
-            .collect()
-        ]
+        deg = norm_edges.groupBy("src").agg(F.count("*").alias("d"))
+        dstats = deg.agg(
+            F.coalesce(F.sum("d"), F.lit(0)).alias("m"),
+            F.coalesce(F.max("d"), F.lit(0)).alias("mx"),
+        ).collect()[0]
+        hot_thr = max(1000, int(dstats["m"]) // (4 * n_parts))
+        if int(dstats["mx"]) > hot_thr:
+            hot_keys = [
+                r["src"] for r in deg.filter(F.col("d") > hot_thr).select("src").collect()
+            ]
 
     # Superstep fusion (r6): in bare fixed-iteration mode, chain several
     # superstep plans into ONE materialization job — same arithmetic, fewer
