@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from graphulo_spark.materialize import materialize
 from graphulo_spark.checkpoint import SuperstepCheckpointer, input_fingerprint
-from graphulo_spark.linalg.spmv import spmv, spmv_arrow
+from graphulo_spark.linalg.spmv import hub_keys, spmv, spmv_arrow
 
 # How many supersteps to chain into one materialization job in bare
 # fixed-iteration mode (see the fusion gate in _pagerank_loop). A bare-loop
@@ -327,16 +327,7 @@ def _pagerank_loop(
     hot_keys: list[int] = []
     if strategy in ("plain", "auto"):
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        deg = norm_edges.groupBy("src").agg(F.count("*").alias("d"))
-        dstats = deg.agg(
-            F.coalesce(F.sum("d"), F.lit(0)).alias("m"),
-            F.coalesce(F.max("d"), F.lit(0)).alias("mx"),
-        ).collect()[0]
-        hot_thr = max(1000, int(dstats["m"]) // (4 * n_parts))
-        if int(dstats["mx"]) > hot_thr:
-            hot_keys = [
-                r["src"] for r in deg.filter(F.col("d") > hot_thr).select("src").collect()
-            ]
+        hot_keys = hub_keys(norm_edges, n_parts, key="src")
 
     # Superstep fusion (r6): in bare fixed-iteration mode, chain several
     # superstep plans into ONE materialization job — same arithmetic, fewer

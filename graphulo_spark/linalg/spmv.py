@@ -47,6 +47,26 @@ DEFAULT_NSALT = 16
 DEFAULT_BROADCAST_THRESHOLD = 5_000_000
 
 
+def hub_keys(edges: DataFrame, n_parts: int, key: str = "src") -> list:
+    """Gather-side hub vertices: keys owning more than ~1/(4·n_parts) of all
+    edge rows (min 1000), i.e. the keys that would make one shuffle partition
+    a straggler. Bounded: at most 4·n_parts keys can exceed the threshold.
+    ONE degree pass answers |E| and max-degree together; the list itself is
+    collected only when a hub exists, so the hub-free common case costs a
+    single job. This is the shared gate behind pagerank's hot-key routing
+    and the skew-stress tests (the Graphulo power-law-split weighting,
+    Graphulo.java:2701-2739, applied to the join)."""
+    deg = edges.groupBy(key).agg(F.count("*").alias("d"))
+    stats = deg.agg(
+        F.coalesce(F.sum("d"), F.lit(0)).alias("m"),
+        F.coalesce(F.max("d"), F.lit(0)).alias("mx"),
+    ).collect()[0]
+    thr = max(1000, int(stats["m"]) // (4 * n_parts))
+    if int(stats["mx"]) <= thr:
+        return []
+    return [r[key] for r in deg.filter(F.col("d") > thr).select(key).collect()]
+
+
 def salted_join(
     edges: DataFrame,
     vec: DataFrame,
