@@ -113,9 +113,8 @@ def label_propagation(
         votes = gathered.groupBy(F.col("dst").alias("v"), "label").agg(
             F.sum("w").alias("_wt")
         )
-        # argmax by (weight desc, label asc) as ONE aggregate: max over the
-        # struct (_wt, -label) picks the heaviest vote, smallest label on
-        # ties — map-side partial combine, no per-vertex sort window. And on
+        # argmax by (weight desc, label asc) as ONE aggregate — map-side
+        # partial combine, no per-vertex sort window. And on
         # a symmetrized edge-derived graph every vertex is some edge's dst,
         # so the winner table IS the complete new label table — the former
         # vertices-left-join-winner-left-join-old completion (two |V|-vs-|V|

@@ -80,7 +80,7 @@ def _closer(e: DataFrame) -> DataFrame:
 
 
 # Closer-join strategy threshold, in ORIENTED-EDGE rows. Below it the count
-# runs as a broadcast forward-adjacency intersection (see _adjacency_triples):
+# runs as a broadcast forward-adjacency intersection (_edges_with_adjacency):
 # the oriented out-neighbor lists (~16 B/edge — same budget class as a
 # broadcast closer-edge hash, the usual broadcast-dim allowance on 4-8 GB
 # executors) ship to every task and each oriented edge (a,b) emits
