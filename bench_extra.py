@@ -206,8 +206,39 @@ def counts() -> None:
     spark.stop()
 
 
+def run_scaling_gated() -> dict:
+    """Gated N→4N scaling window (VERDICT r5 #7; lives here because bench.py
+    is frozen for measurement): first probe the box's own shuffle-free
+    codegen ceiling at the same core pair — if the hardware cannot scale a
+    zero-shuffle job at ≥ the gate (default 0.92), an engine window would
+    measure the box, not the engine, so REFUSE instead of publishing a
+    dirty number; on a clean probe run the engine window and bracket it
+    with a post-probe so the window's cleanliness is recorded."""
+    import bench
+
+    gate = float(os.environ.get("SPARK_GRAFT_SCALING_GATE", "0.92"))
+    n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+    os.environ["SPARK_GRAFT_CEILING_KINDS"] = "codegen"
+    pre = bench.run_ceiling(n)["pairs"]["codegen"]["efficiency"]
+    if pre < gate:
+        return {
+            "metric": "scaling_efficiency_Nto4N",
+            "value": None,
+            "gated": True,
+            "reason": f"codegen ceiling {pre} < gate {gate}: box dirty, window refused",
+            "pre_bracket": pre,
+        }
+    out = bench.run_scaling(n)
+    post = bench.run_ceiling(n)["pairs"]["codegen"]["efficiency"]
+    out.update({"gated": False, "pre_bracket": pre, "post_bracket": post,
+                "bracket_clean": post >= gate})
+    return out
+
+
 if __name__ == "__main__":
-    if "--plans" in sys.argv:
+    if "--scaling-gated" in sys.argv:
+        print(json.dumps(run_scaling_gated()))
+    elif "--plans" in sys.argv:
         i = sys.argv.index("--plans")
         label = sys.argv[i + 1] if len(sys.argv) > i + 1 else "before"
         capture_plans(label)
