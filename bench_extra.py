@@ -218,20 +218,32 @@ def run_scaling_gated() -> dict:
 
     gate = float(os.environ.get("SPARK_GRAFT_SCALING_GATE", "0.92"))
     n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
-    os.environ["SPARK_GRAFT_CEILING_KINDS"] = "codegen"
-    pre = bench.run_ceiling(n)["pairs"]["codegen"]["efficiency"]
-    if pre < gate:
+    # brackets: codegen (compute ceiling — the GATE) and cachedscan (memory-
+    # bandwidth ceiling — recorded, not gated: the resident edge layout is
+    # bandwidth-bound by construction, so its honest same-window control is
+    # the cachedscan pair, exactly the r5 certification's methodology; a
+    # clean codegen probe alone cannot see memory-bus ambient, which the
+    # first r6 clean-gate window demonstrated: brackets 0.979/0.948 around
+    # an engine draw of 0.370 whose 8-core reps spread 1.8x)
+    os.environ["SPARK_GRAFT_CEILING_KINDS"] = "codegen,cachedscan"
+    pre = bench.run_ceiling(n)["pairs"]
+    if pre["codegen"]["efficiency"] < gate:
         return {
             "metric": "scaling_efficiency_Nto4N",
             "value": None,
             "gated": True,
-            "reason": f"codegen ceiling {pre} < gate {gate}: box dirty, window refused",
-            "pre_bracket": pre,
+            "reason": f"codegen ceiling {pre['codegen']['efficiency']} < gate {gate}: "
+                      "box dirty, window refused",
+            "pre_bracket": {k: v["efficiency"] for k, v in pre.items()},
         }
     out = bench.run_scaling(n)
-    post = bench.run_ceiling(n)["pairs"]["codegen"]["efficiency"]
-    out.update({"gated": False, "pre_bracket": pre, "post_bracket": post,
-                "bracket_clean": post >= gate})
+    post = bench.run_ceiling(n)["pairs"]
+    out.update({
+        "gated": False,
+        "pre_bracket": {k: v["efficiency"] for k, v in pre.items()},
+        "post_bracket": {k: v["efficiency"] for k, v in post.items()},
+        "bracket_clean": post["codegen"]["efficiency"] >= gate,
+    })
     return out
 
 
